@@ -1,0 +1,173 @@
+"""The vectorized extraction operator: documents table -> structured
+per-url extraction output.
+
+One Arrow-batched ``mapInPandas`` pass per partition runs the pure
+kernel (kernels/layout.extract_document) over each document and emits
+a nested row per url: page_type, footer, extracted_text (byte-stable
+golden), structural spans, normalized region rows, and the per-page
+error channel. Everything downstream (entity assembly, metrics) is
+pure DataFrame algebra on this output.
+
+Scale design (north rule):
+- ``salt_by_url`` repartitions on pmod(xxhash64(url), n) to defuse
+  Zipfian host/domain skew before the kernel stage.
+- the kernel never fails a task: per-document faults become error rows
+  (reference E2 pattern, table_extractor.py:203-215).
+- input column pruning: only (url, warc_ts, html, lang) are read, so
+  Parquet/Iceberg scans skip ``text`` entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTRACTION_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, page_no int, page_type string, "
+    "footer struct<project_name:string, product_name:string, tags:array<string>>, "
+    "extracted_text string, "
+    "spans array<struct<region:string, kind:string, row_idx:int, loc:array<double>, text:string>>, "
+    "rows array<struct<row_idx:int, cols:map<string,string>, loc:array<double>, loc_repr:string>>, "
+    "errors array<struct<severity:string, message:string>>, "
+    "partition_id int, kernel_docs int"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # import inside the worker: keeps the closure tiny for pickling
+    from pyspark import TaskContext
+
+    from ..kernels.layout import extract_document
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc else -1
+
+    for pdf in batches:
+        n = len(pdf)
+        out = {
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "page_no": [1] * n,
+            "page_type": [],
+            "footer": [],
+            "extracted_text": [],
+            "spans": [],
+            "rows": [],
+            "errors": [],
+            "partition_id": [pid] * n,
+            "kernel_docs": [n] * n,
+        }
+        for html in pdf["html"]:
+            r = extract_document(html)
+            out["page_type"].append(r["page_type"])
+            out["footer"].append(r["footer"])
+            out["extracted_text"].append(r["extracted_text"])
+            out["spans"].append(
+                [
+                    (s["region"], s["kind"], s["row_idx"], s["loc"], s["text"])
+                    for s in r["spans"]
+                ]
+            )
+            out["rows"].append(
+                [
+                    (row["row_idx"], row["cols"], row["loc"], row["loc_repr"])
+                    for row in r["rows"]
+                ]
+            )
+            out["errors"].append([(sev, msg) for sev, msg in r["errors"]])
+        yield pd.DataFrame(out)
+
+
+def salt_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit url-hash salting + repartition (north rule): breaks up
+    hot hosts so one domain cannot stall a partition."""
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
+    )
+
+
+def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """documents (url, warc_ts, html, lang, ...) -> extraction output."""
+    cols = ["url", "warc_ts", "html", "lang"]
+    pruned = docs.select(*cols)
+    if num_partitions:
+        pruned = salt_by_url(pruned, num_partitions)
+    return pruned.mapInPandas(_extract_batches, schema=EXTRACTION_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Derived flat views (pure relational; Catalyst prunes the nested
+# columns it does not need)
+# ------------------------------------------------------------------
+
+
+def rows_table(extracted: DataFrame) -> DataFrame:
+    """Normalized per-row table: (url, page_no, page_type, footer_tags,
+    row_idx, cols, loc, loc_repr)."""
+    return (
+        extracted.where(F.size("rows") > 0)
+        .select(
+            "url",
+            "page_no",
+            "page_type",
+            F.col("footer.tags").alias("footer_tags"),
+            F.explode("rows").alias("r"),
+        )
+        .select(
+            "url",
+            "page_no",
+            "page_type",
+            "footer_tags",
+            F.col("r.row_idx").alias("row_idx"),
+            F.col("r.cols").alias("cols"),
+            F.col("r.loc").alias("loc"),
+            F.col("r.loc_repr").alias("loc_repr"),
+        )
+    )
+
+
+def errors_table(extracted: DataFrame) -> DataFrame:
+    """Metrics/errors side channel (E1): (url, page_no, severity, message)."""
+    return (
+        extracted.where(F.size("errors") > 0)
+        .select("url", "page_no", F.explode("errors").alias("e"))
+        .select(
+            "url",
+            "page_no",
+            F.col("e.severity").alias("severity"),
+            F.col("e.message").alias("message"),
+        )
+    )
+
+
+def spans_table(extracted: DataFrame) -> DataFrame:
+    """Structural spans per url."""
+    return (
+        extracted.where(F.size("spans") > 0)
+        .select("url", "page_type", F.explode("spans").alias("s"))
+        .select(
+            "url",
+            "page_type",
+            F.col("s.region").alias("region"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.row_idx").alias("row_idx"),
+            F.col("s.loc").alias("loc"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+def partition_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition counter metrics (north rule): docs, rows, faults."""
+    return extracted.groupBy("partition_id").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("rows")).alias("rows"),
+        F.sum(
+            F.size(F.filter("errors", lambda e: e["severity"] == "FAULT"))
+        ).alias("faults"),
+        F.sum(F.when(F.col("page_type").isNull(), 1).otherwise(0)).alias("unclassified"),
+    )

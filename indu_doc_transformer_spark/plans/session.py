@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the extraction workload: Arrow-batched pandas UDFs over
+binary html blobs, AQE for runtime re-planning and skew-join defusal,
+shuffle partition count sized for the local harness but meant to be
+overridden (spark.sql.shuffle.partitions=auto via AQE coalescing on a
+real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One Arrow batch of html blobs must fit executor memory: with ~4 KiB
+# synthetic docs 2048/batch is ~8 MiB; real web pages average ~100 KiB,
+# so production configs should drop this to ~256.
+ARROW_BATCH = 2048
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "indu-doc-transformer-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; cluster masters get a larger default and rely
+        # on AQE coalescing
+        if master.startswith("local["):
+            n = master[len("local[") : -1]
+            shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        else:
+            shuffle_partitions = 400
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
