@@ -38,13 +38,17 @@ def sql_charjoin(expr: str) -> str:
 
 
 def md5_uuid(col: Column) -> Column:
+    # F.concat (not concat_ws): null input must propagate to null GUID
     h = F.md5(col)
-    return F.concat_ws(
-        "-",
+    return F.concat(
         F.substring(h, 1, 8),
+        F.lit("-"),
         F.substring(h, 9, 4),
+        F.lit("-"),
         F.substring(h, 13, 4),
+        F.lit("-"),
         F.substring(h, 17, 4),
+        F.lit("-"),
         F.substring(h, 21, 12),
     )
 

@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- exact dedup is a hash-groupBy (one shuffle on the 32-hex digest,
+  AQE-coalesced);
+- MinHash+LSH is the linear-time near-dup path: per-doc signature
+  (map-side only) -> explode b band buckets -> self-equi-join on
+  (band, bucket) -> exact Jaccard verify on the candidates. No O(n^2)
+  anywhere; the band join shuffles only (doc_id, bucket) pairs.
+- SimHash gives a 64-bit locality-sensitive fingerprint; near-dup =
+  bucket join on the top bits or hamming-verify on candidates.
+
+Everything is deterministic (md5-based hashes, lexicographic string
+mins) and exactly mirrorable in DuckDB SQL for the driver's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import norm_text
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of the normalized text."""
+    toks = F.split(norm_text(c), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K lexicographic-min md5 hashes; string min is portable across
+    engines (no hex->int conversion needed)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda seed: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(seed.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:string>> — md5 of each signature
+    slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("band"),
+            F.md5(
+                F.concat(
+                    j.cast("string"),
+                    F.lit("|"),
+                    F.array_join(F.slice(sig, j * rows_per_band + 1, rows_per_band), ","),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.round(
+        F.size(F.array_intersect(a, b))
+        / F.size(F.array_union(a, b)).cast("double"),
+        6,
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical normalized text with >1 member:
+    (fp, dup_count, keep_id) — keep_id = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
+    jaccard_sim >= threshold.
+    """
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    buckets = base.select(
+        "id", "sh", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bb")
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash64(c: Column) -> Column:
+    """64-bit SimHash of the distinct whitespace tokens, as a 16-hex
+    string. Bit p comes from nibble p/4 of each token's md5; the bit
+    votes +1/-1 and the sign of the sum sets the output bit.
+
+    Portable formula: nibble value = strpos('0123456789abcdef', ch)-1
+    (same expression works in DuckDB)."""
+    toks = F.array_distinct(F.split(norm_text(c), " "))
+    hexes = F.transform(toks, lambda t: F.md5(t))
+
+    def bit_sum(p):
+        # p: Column 0..63; nibble index p/4 (1-based substr), bit in nibble 3-p%4
+        nib_idx = (p / 4).cast("int") + 1
+        shift = F.lit(3) - (p % 4)
+        return F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                (
+                    (
+                        F.instr(
+                            F.lit("0123456789abcdef"), F.substring(h, nib_idx, 1)
+                        )
+                        - 1
+                    ).cast("int")
+                    .bitwiseAND(F.shiftleft(F.lit(1), shift))
+                )
+                > 0,
+                1,
+            ).otherwise(-1),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: F.when(bit_sum(p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # reassemble 16 hex chars from 4-bit groups
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda g: F.substring(
+                F.lit("0123456789abcdef"),
+                (
+                    F.element_at(bits, (g * 4 + 1).cast("int")) * 8
+                    + F.element_at(bits, (g * 4 + 2).cast("int")) * 4
+                    + F.element_at(bits, (g * 4 + 3).cast("int")) * 2
+                    + F.element_at(bits, (g * 4 + 4).cast("int"))
+                    + 1
+                ).cast("int"),
+                1,
+            ),
+        ),
+        "",
+    )
+
+
+def embedding_cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity via an explicit sequential fold (identical
+    summation order to the DuckDB oracle), rounded to 6 decimals."""
+    def dot(x, y):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(x)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
+        )
+
+    return F.round(
+        dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))),
+        6,
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, max_ids: int = 200
+) -> DataFrame:
+    """Embedding-cosine near-dup over a bounded id range (the oracle
+    pattern); the scale path is similarity.ann_lsh_topk."""
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+        F.col("id") < max_ids
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            embedding_cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

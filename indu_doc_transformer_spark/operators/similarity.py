@@ -1,0 +1,93 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``ann_bruteforce_topk``: exact cosine top-k per probe. The probe set
+  is small and broadcast; candidates stream map-side; the only shuffle
+  is the per-probe top-k window. This is the correctness baseline.
+- ``ann_lsh_topk``: the scale path — deterministic random-hyperplane
+  LSH buckets both sides, candidates are generated per (probe, bucket)
+  equi-join, then exact cosine re-ranks. At 100 TB the bucket join
+  replaces the probes x corpus product with a key-local join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import embedding_cosine
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ann_bruteforce_topk(
+    df: DataFrame, id_col: str, vec_col: str, probe_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: (probe_id, vec_id, cos_sim, rank)."""
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = base.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = scored.withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
+    return _topk(scored, k)
+
+
+def hyperplane_sign(v: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i of plane p is
+    +1/-1 by a bit of md5(p:i). Sign of <v, h_p> is one LSH bit."""
+    dot = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(v, i).cast("double")
+        * F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 1
+            ).isin(*"01234567"),
+            1.0,
+        ).otherwise(-1.0),
+    )
+    return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket(v: Column, num_planes: int, dim: int) -> Column:
+    return F.concat(*[hyperplane_sign(v, p, dim) for p in range(num_planes)])
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucketed ANN: equi-join on the hyperplane bucket, exact cosine
+    re-rank within the bucket. Recall < 1 by construction (approximate);
+    at scale add multi-probe by flipping bucket bits."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    base = base.withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
+    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("bucket").alias("pbucket"),
+    )
+    scored = base.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")),
+    ).withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
+    return _topk(scored, k)

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All builders are native Column expressions (whole-stage codegen, no
+Python in the hot path) and are designed to be *exactly* mirrorable in
+ANSI/DuckDB SQL so the driver's oracle can verify them value-for-value
+(see __spark_entry__.oracle_sql). Floating-point outputs are rounded
+to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import functions as _  # noqa: F401
+from ..functions.guids import md5_uuid
+
+# Marker stopwords for the n-gram-free language-ID heuristic. Kept
+# short and disjoint; the same literal lists are inlined in the oracle.
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "for", "with", "that", "are"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"]
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def norm_text(c: Column) -> Column:
+    """normalize_string analog (common_utils.py:12-24): lower, trim,
+    collapse whitespace."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count: letter runs, single digits, punctuation."""
+    return F.size(F.regexp_extract_all(c, F.lit(_TOKEN_RE), F.lit(0)))
+
+
+def punct_ratio(c: Column) -> Column:
+    return F.round(
+        F.size(F.regexp_extract_all(c, F.lit(_PUNCT_RE), F.lit(0)))
+        / F.length(c).cast("double"),
+        6,
+    )
+
+
+def _tokens(c: Column) -> Column:
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def stopword_count(c: Column, words: list[str]) -> Column:
+    toks = _tokens(c)
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def stopword_ratio(c: Column, words: list[str]) -> Column:
+    toks = _tokens(c)
+    return F.round(
+        F.size(F.filter(toks, lambda t: t.isin(words))) / F.size(toks).cast("double"),
+        6,
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """'de' when German markers outnumber English ones, else 'en'."""
+    return F.when(
+        stopword_count(c, DE_STOPWORDS) > stopword_count(c, EN_STOPWORDS), "de"
+    ).otherwise("en")
+
+
+def quality_score(c: Column) -> Column:
+    """Length / punctuation / stopword blend in [0,1] — the reference-
+    style heuristic quality gate for web text."""
+    length_part = F.least(F.length(c) / F.lit(500.0), F.lit(1.0)) * 0.4
+    punct_part = (
+        F.lit(1.0)
+        - F.least(
+            F.size(F.regexp_extract_all(c, F.lit(_PUNCT_RE), F.lit(0)))
+            / F.length(c).cast("double")
+            * 4.0,
+            F.lit(1.0),
+        )
+    ) * 0.3
+    toks = _tokens(c)
+    stop_part = (
+        F.least(
+            F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+            / F.size(toks).cast("double")
+            * 5.0,
+            F.lit(1.0),
+        )
+        * 0.3
+    )
+    return F.round(length_part + punct_part + stop_part, 6)
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5-uuid of the normalized text (the
+    reference's content-hash GUID scheme applied to documents)."""
+    return md5_uuid(norm_text(c))
