@@ -1,38 +1,726 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full extraction+assembly over the
+                     deterministic synthetic web corpus at sf0.001.
+``queries()``      — one entry per implemented operator family
+                     (SURVEY.md §2 + training-data-pipeline operators);
+                     each callable takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-equivalent SQL per query (omitted for the
+                     kernel-based extraction queries, which are not
+                     SQL-expressible; the driver records a rows-only
+                     check for those).
+
+Column aliases match between Spark and SQL exactly (the driver's
+compare sorts columns by name then value-hashes). Floating-point
+outputs are rounded on both sides; money sums are computed in
+decimal(18,2) and cast to double at the end so both engines produce
+bit-identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from indu_doc_transformer_spark.functions.guids import md5_uuid
+from indu_doc_transformer_spark.operators import dedup as dd
+from indu_doc_transformer_spark.operators import similarity as sim
+from indu_doc_transformer_spark.operators import textstats as ts
+from indu_doc_transformer_spark.sources.corpus import corpus_df, docs_for_sf, sf_from_dir
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_SQL_MD5_UUID = (
+    "concat(substr(md5({x}),1,8),'-',substr(md5({x}),9,4),'-',"
+    "substr(md5({x}),13,4),'-',substr(md5({x}),17,4),'-',substr(md5({x}),21,12))"
+)
+
+
+def _sql_md5_uuid(x: str) -> str:
+    return _SQL_MD5_UUID.format(x=x)
+
+
+_EN = "'the','and','of','to','in','is','for','with','that','are'"
+_DE = "'der','die','das','und','ist','nicht','mit','ein','für','von'"
+
+# ---------------------------------------------------------------------------
+# extraction-family queries (kernel-based; rows-only correctness check)
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = min(docs_for_sf(sf_from_dir(sf_dir)), 2000)
+    return corpus_df(spark, n)
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    return ex.extract(_corpus(spark, sf_dir), num_partitions=32)
+
+
+def _entities(spark: SparkSession, sf_dir: str):
+    from indu_doc_transformer_spark.operators import assembly as asm
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    extracted = _extracted(spark, sf_dir)
+    return asm.assemble(ex.rows_table(extracted))
+
+
+def x_extract_text(spark, sf_dir):
+    return _extracted(spark, sf_dir).select("url", "page_type", "extracted_text")
+
+
+def x_spans(spark, sf_dir):
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    return ex.spans_table(_extracted(spark, sf_dir))
+
+
+def x_entity_xtargets(spark, sf_dir):
+    return _entities(spark, sf_dir)["xtargets"]
+
+
+def x_entity_connections(spark, sf_dir):
+    return _entities(spark, sf_dir)["connections"]
+
+
+def x_entity_links_pins(spark, sf_dir):
+    t = _entities(spark, sf_dir)
+    return (
+        t["links"]
+        .select(F.col("guid"), F.lit("link").alias("entity"))
+        .unionByName(t["pins"].select("guid", F.lit("pin").alias("entity")))
+    )
+
+
+def x_metrics_errors(spark, sf_dir):
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    errs = ex.errors_table(_extracted(spark, sf_dir))
+    return errs.groupBy("severity").agg(F.count("*").alias("n")).orderBy("severity")
+
+
+def x_partition_metrics(spark, sf_dir):
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    return ex.partition_metrics(_extracted(spark, sf_dir))
+
+
+def x_multimodal_features(spark, sf_dir):
+    from indu_doc_transformer_spark.operators import multimodal as mm
+
+    media = mm.synth_media_df(spark, 64)
+    return mm.extract_features(media, fake=True).select(
+        "media_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0"), "decode_ok"
+    )
+
+
+def x_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
+
+
+# ---------------------------------------------------------------------------
+# oracled queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregation (A-layer baseline): decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(d("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")).cast("double"), 2).alias("sum_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3-style 3-way join + top-k."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-way join through the dimension chain."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(s.hint("broadcast"), li.l_suppkey == s.s_suppkey)
+        .join(n.hint("broadcast"), s.s_nationkey == n.n_nationkey)
+        .join(r.hint("broadcast"), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def q_forward_fill(spark, sf_dir):
+    """T6/W1: forward fill over an ordered per-user window — 'error'
+    rows inherit the previous non-error value."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(good, ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """T7/W2: segment detection — session id = running sum of gap>5min
+    flags per user (the cable-diagram block-segmentation pattern)."""
+    # events.ts is TIMESTAMP_NTZ in parquet; session tz is UTC so the
+    # cast matches DuckDB's epoch_us over the naive timestamp
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flag = F.when(
+        (F.col("us") - F.lag("us").over(w)) > 300_000_000, 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.withColumn("flag", flag).select(
+        "event_id", "user_id", F.sum("flag").over(wsum).alias("session_id")
+    )
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    """W3: row_number ordering (persisted sort_order analog)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "rn")
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """A14: grouping-sets rollup over the region/nation hierarchy."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = s.join(n.hint("broadcast"), s.s_nationkey == n.n_nationkey).join(
+        r.hint("broadcast"), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_suppliers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_suppliers",
+        )
+    )
+
+
+def q_link_graph(spark, sf_dir):
+    """A12: edge weights + degree sums."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("weight"))
+    return edges.groupBy("user_id").agg(
+        F.sum("weight").alias("degree"), F.count("*").alias("n_types")
+    )
+
+
+def q_explode_product(spark, sf_dir):
+    """J6: cartesian of two per-row exploded lists (';'-product analog)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    return (
+        p.withColumn("w1", F.explode(F.split("p_name", " ")))
+        .withColumn("w2", F.explode(F.split("p_type", " ")))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_combos"))
+    )
+
+
+def q_pin_chain(spark, sf_dir):
+    """F2-F4: pin strip/split + chain explosion with positions."""
+    s = _t(spark, sf_dir, "supplier").withColumn(
+        "pin_tag",
+        F.concat(
+            F.lit("-X"), F.col("s_suppkey"), F.lit(":"), F.col("s_nationkey"), F.lit(":2")
+        ),
+    )
+    return s.select(
+        "s_suppkey",
+        F.substring_index("pin_tag", ":", 1).alias("base_tag"),
+        F.posexplode(F.slice(F.split("pin_tag", ":"), 2, 100)).alias("pos", "pin_name"),
+    )
+
+
+def q_guid_hash(spark, sf_dir):
+    """F8: md5-uuid content hashing (byte-identical GUID scheme)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", md5_uuid(F.col("s_name")).alias("guid"))
+
+
+def q_normalize(spark, sf_dir):
+    """P7: normalize_string as columns."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.norm_text(F.col("text")).alias("norm_text"))
+
+
+def q_word_sweep(spark, sf_dir):
+    """F12: regex sweep -> explode -> distinct -> sort."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z]{5,}"), F.lit(0))
+            ).alias("word")
+        )
+        .distinct()
+        .orderBy("word")
+    )
+
+
+def q_priority_merge(spark, sf_dir):
+    """A4: dedup-by-guid with max-priority type upgrade."""
+    li = _t(spark, sf_dir, "lineitem")
+    pri = (
+        F.when(F.col("l_returnflag") == "R", 3)
+        .when(F.col("l_returnflag") == "A", 2)
+        .otherwise(1)
+    )
+    name = (
+        F.when(F.col("pri") == 3, "R").when(F.col("pri") == 2, "A").otherwise("N")
+    )
+    return (
+        li.select(
+            md5_uuid(F.col("l_partkey").cast("string")).alias("guid"),
+            pri.alias("p"),
+        )
+        .groupBy("guid")
+        .agg(F.max("p").alias("pri"), F.count("*").alias("merged"))
+        .select("guid", name.alias("merged_flag"), "merged")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.ws_token_count(F.col("text")).alias("ws_tokens"),
+        ts.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.punct_ratio(F.col("text")).alias("punct_ratio"),
+        ts.stopword_ratio(F.col("text"), ts.EN_STOPWORDS).alias("stop_ratio"),
+        ts.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_duplicates(d, "doc_id", "text")
+
+
+def q_minhash_signature(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signature(dd.word_shingles(F.col("text"), 3), 16)
+    return d.select("doc_id", F.array_join(sig, ",").alias("sig"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Adjacent-doc 3-gram Jaccard (bounded pairwise check)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", dd.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_next")
+    )
+    return (
+        d.join(b, "doc_id")
+        .select(
+            "doc_id", dd.jaccard(F.col("sh"), F.col("sh_next")).alias("jaccard_next")
+        )
+    )
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_bruteforce_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.8, 100)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extract+assemble at sf0.001, returns xtargets."""
+    from indu_doc_transformer_spark.operators import assembly as asm
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    docs = corpus_df(spark, 100)
+    extracted = ex.extract(docs, num_partitions=8)
+    tables = asm.assemble(ex.rows_table(extracted))
+    return tables["xtargets"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator layer (oracled)
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_orders": q_top_orders,
+        "q_region_volume": q_region_volume,
+        "q_forward_fill": q_forward_fill,
+        "q_sessionize": q_sessionize,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+        "q_rollup": q_rollup,
+        "q_link_graph": q_link_graph,
+        "q_explode_product": q_explode_product,
+        "q_pin_chain": q_pin_chain,
+        "q_guid_hash": q_guid_hash,
+        "q_normalize": q_normalize,
+        "q_word_sweep": q_word_sweep,
+        "q_priority_merge": q_priority_merge,
+        # text analysis (oracled)
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_fingerprint": q_fingerprint,
+        # dedup family (oracled)
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_signature": q_minhash_signature,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        # similarity search (oracled)
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_embedding_neardup": q_embedding_neardup,
+        # extraction pipeline (kernel-based; rows-only check)
+        "x_extract_text": x_extract_text,
+        "x_spans": x_spans,
+        "x_entity_xtargets": x_entity_xtargets,
+        "x_entity_connections": x_entity_connections,
+        "x_entity_links_pins": x_entity_links_pins,
+        "x_metrics_errors": x_metrics_errors,
+        "x_partition_metrics": x_partition_metrics,
+        "x_multimodal_features": x_multimodal_features,
+        "x_ann_lsh": x_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracle SQL. Shared fragments:
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({t}) - 2, 1)),"
+    " i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+).format(t="regexp_split_to_array(" + _NORM + ", ' ')")
+_SIG = (
+    "list_transform(generate_series(1,16), seed ->"
+    " list_min(list_transform(sh, s -> md5(cast(seed as varchar) || ':' || s))))"
+)
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS sum_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey,
+                   round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q_region_volume": """
+            SELECT r_name,
+                   round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double), 4) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_forward_fill": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+            FROM events
+        """,
+        "q_sessionize": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            ), f AS (
+              SELECT event_id, user_id, us,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 300000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM e
+            )
+            SELECT event_id, user_id,
+                   sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM f
+        """,
+        "q_top_customers_per_nation": """
+            SELECT c_nationkey, c_custkey, rn FROM (
+              SELECT c_nationkey, c_custkey,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) WHERE rn <= 3
+        """,
+        "q_rollup": """
+            SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q_link_graph": """
+            WITH edges AS (
+              SELECT user_id, event_type, count(*) AS weight
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, sum(weight) AS degree, count(*) AS n_types
+            FROM edges GROUP BY user_id
+        """,
+        "q_explode_product": """
+            SELECT p_partkey, count(*) AS n_combos
+            FROM (
+              SELECT p_partkey
+              FROM part,
+                   unnest(regexp_split_to_array(p_name, ' ')) AS t1(w1),
+                   unnest(regexp_split_to_array(p_type, ' ')) AS t2(w2)
+              WHERE p_size < 10
+            ) GROUP BY p_partkey
+        """,
+        "q_pin_chain": """
+            WITH s AS (
+              SELECT s_suppkey,
+                     '-X' || s_suppkey || ':' || s_nationkey || ':2' AS pin_tag
+              FROM supplier
+            ), parts AS (
+              SELECT s_suppkey,
+                     split_part(pin_tag, ':', 1) AS base_tag,
+                     list_slice(regexp_split_to_array(pin_tag, ':'), 2, 100000) AS pins
+              FROM s
+            )
+            SELECT s_suppkey, base_tag, i - 1 AS pos, pins[i] AS pin_name
+            FROM parts, unnest(generate_series(1, len(pins))) AS g(i)
+        """,
+        "q_guid_hash": f"""
+            SELECT s_suppkey, {_sql_md5_uuid("s_name")} AS guid FROM supplier
+        """,
+        "q_normalize": f"""
+            SELECT doc_id, {_NORM} AS norm_text FROM documents
+        """,
+        "q_word_sweep": """
+            SELECT DISTINCT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS word
+            FROM documents ORDER BY word
+        """,
+        "q_priority_merge": f"""
+            WITH g AS (
+              SELECT {_sql_md5_uuid("cast(l_partkey as varchar)")} AS guid,
+                     CASE l_returnflag WHEN 'R' THEN 3 WHEN 'A' THEN 2 ELSE 1 END AS p
+              FROM lineitem
+            )
+            SELECT guid,
+                   CASE max(p) WHEN 3 THEN 'R' WHEN 2 THEN 'A' ELSE 'N' END AS merged_flag,
+                   count(*) AS merged
+            FROM g GROUP BY guid
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "q_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+                     {_TOKS} AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(np / cast(length(text) as double), 6) AS punct_ratio,
+                   round(len(list_filter(toks, x -> x in ({_EN}))) / cast(len(toks) as double), 6) AS stop_ratio,
+                   round(least(length(text) / 500.0, 1.0) * 0.4
+                         + (1.0 - least(np / cast(length(text) as double) * 4.0, 1.0)) * 0.3
+                         + least(len(list_filter(toks, x -> x in ({_EN}))) / cast(len(toks) as double) * 5.0, 1.0) * 0.3,
+                         6) AS quality
+            FROM t
+        """,
+        "q_langid": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(toks, x -> x in ({_DE})))
+                             > len(list_filter(toks, x -> x in ({_EN})))
+                        THEN 'de' ELSE 'en' END AS pred_lang
+            FROM t
+        """,
+        "q_fingerprint": f"""
+            SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
+        """,
+        "q_exact_dedup": f"""
+            SELECT md5({_NORM}) AS fp, count(*) AS dup_count, min(doc_id) AS keep_id
+            FROM documents GROUP BY fp HAVING count(*) > 1
+        """,
+        "q_minhash_signature": f"""
+            WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+            SELECT doc_id, array_to_string({_SIG}, ',') AS sig FROM t
+        """,
+        "q_minhash_lsh_pairs": f"""
+            WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sigs AS (SELECT doc_id, sh, {_SIG} AS sig FROM t),
+            buckets AS (
+              SELECT doc_id, sh, j AS band,
+                     md5(cast(j as varchar) || '|' ||
+                         array_to_string(list_slice(sig, j*4+1, j*4+4), ',')) AS bucket
+              FROM sigs, unnest(generate_series(0,3)) AS g(j)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sh_a, sh_b)) /
+                         cast(len(list_distinct(list_concat(sh_a, sh_b))) as double), 6) AS jaccard_sim
+            FROM cand
+            WHERE len(list_intersect(sh_a, sh_b)) /
+                  cast(len(list_distinct(list_concat(sh_a, sh_b))) as double) >= 0.5
+        """,
+        "q_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+            SELECT a.doc_id AS doc_id,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) AS jaccard_next
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "q_simhash": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_distinct(regexp_split_to_array({_NORM}, ' ')), x -> md5(x)) AS hx
+              FROM documents WHERE doc_id < 100
+            ), bits AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0,63), p ->
+                       CASE WHEN list_sum(list_transform(hx, h ->
+                         CASE WHEN ((strpos('0123456789abcdef', substr(h, cast(floor(p/4) as int) + 1, 1)) - 1)
+                                    // power(2, 3 - (p % 4))) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN 1 ELSE 0 END) AS b
+              FROM t
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(generate_series(0,15), g ->
+                     substr('0123456789abcdef',
+                            cast(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] + 1 as int), 1)), '') AS simhash
+            FROM bits
+        """,
+        "q_ann_bruteforce": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            probes AS (SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id IN (0,1,2)),
+            scored AS (
+              SELECT probe_id, vec_id, {_cos("pv", "v")} AS cos_sim
+              FROM base, probes WHERE vec_id != probe_id
+            )
+            SELECT probe_id, vec_id, cos_sim, rank FROM (
+              SELECT probe_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "q_embedding_neardup": f"""
+            WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 100)
+            SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE {_cos("a.v", "b.v")} >= 0.8
+        """,
+    }

@@ -61,6 +61,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "partition_id": [pid] * n,
             "kernel_docs": [n] * n,
         }
+        if "bucket" in pdf.columns:  # checkpointed pipeline passthrough
+            out["bucket"] = pdf["bucket"]
         for html in pdf["html"]:
             r = extract_document(html)
             out["page_type"].append(r["page_type"])

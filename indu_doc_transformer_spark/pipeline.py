@@ -1,0 +1,86 @@
+"""End-to-end extraction pipeline orchestration.
+
+Stage 1 (extract): documents -> salted mapInPandas kernel -> nested
+extraction table, written bucket-partitioned with a completed-bucket
+registry (kill-and-restart resumes idempotently).
+
+Stage 2 (assemble): read extraction output back (explicit
+materialization barrier: at 100 TB the extraction output is a real
+Iceberg table, and assembly is a separate, restartable job), derive the
+normalized rows, run the relational assembly, write entity tables +
+lineage + metrics.
+
+The flagship query and benchmarks drive these two stages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import assembly as asm_op
+from .operators import extraction as ex
+from .plans.checkpoint import run_checkpointed
+from .sources.catalog import read_table, write_table
+
+ENTITY_TABLES = [
+    "xtargets",
+    "aspects",
+    "connections",
+    "links",
+    "pins",
+    "attributes",
+    "object_attributes",
+    "lineage",
+    "errors",
+]
+
+
+def run_extraction(
+    docs: DataFrame,
+    out_dir: str,
+    num_buckets: int = 32,
+    chunk_size: int = 8,
+) -> dict:
+    """Stage 1 with checkpoint/resume. Extraction output keeps the
+    bucket column for partition pruning downstream."""
+
+    def process(chunk: DataFrame) -> DataFrame:
+        pruned = chunk.select("url", "warc_ts", "html", "lang", "bucket")
+        # salt/repartition on the bucket key itself: co-locates the
+        # kernel work with the downstream partitioned write
+        pruned = pruned.repartition(max(8, chunk_size), F.col("bucket"), F.col("url"))
+        return pruned.mapInPandas(
+            ex._extract_batches, schema=ex.EXTRACTION_SCHEMA + ", bucket int"
+        )
+
+    return run_checkpointed(docs, out_dir, process, num_buckets, chunk_size)
+
+
+def run_assembly(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Stage 2: entity tables from the persisted extraction output."""
+    extracted = read_table(spark, os.path.join(out_dir, "extracted"))
+    rows = ex.rows_table(extracted)
+    tables = asm_op.assemble(rows)
+    # extraction-stage error channel joins the assembly one
+    tables["errors"] = tables["errors"].unionByName(ex.errors_table(extracted))
+    for name in ENTITY_TABLES:
+        write_table(tables[name], os.path.join(out_dir, name))
+    # per-partition counter metrics (north rule)
+    write_table(
+        ex.partition_metrics(extracted), os.path.join(out_dir, "metrics_partitions")
+    )
+    write_table(
+        extracted.select("url", "page_type", "extracted_text"),
+        os.path.join(out_dir, "extracted_text"),
+    )
+    write_table(ex.spans_table(extracted), os.path.join(out_dir, "spans"))
+    return tables
+
+
+def run_full(docs: DataFrame, out_dir: str, num_buckets: int = 32) -> dict:
+    stats = run_extraction(docs, out_dir, num_buckets)
+    run_assembly(docs.sparkSession, out_dir)
+    return stats
