@@ -365,8 +365,11 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.exact_duplicates(d, "doc_id", "text")
+    # dedup key = first 30 chars so the synthetic corpus has real groups
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "head", F.substring("text", 1, 30)
+    )
+    return dd.exact_duplicates(d, "doc_id", "head")
 
 
 def q_minhash_signature(spark, sf_dir):
@@ -646,8 +649,9 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
         """,
-        "q_exact_dedup": f"""
-            SELECT md5({_NORM}) AS fp, count(*) AS dup_count, min(doc_id) AS keep_id
+        "q_exact_dedup": """
+            SELECT md5(lower(trim(regexp_replace(substr(text,1,30), '\\s+', ' ', 'g')))) AS fp,
+                   count(*) AS dup_count, min(doc_id) AS keep_id
             FROM documents GROUP BY fp HAVING count(*) > 1
         """,
         "q_minhash_signature": f"""
@@ -692,8 +696,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_transform(generate_series(0,63), p ->
                        CASE WHEN list_sum(list_transform(hx, h ->
-                         CASE WHEN ((strpos('0123456789abcdef', substr(h, cast(floor(p/4) as int) + 1, 1)) - 1)
-                                    // power(2, 3 - (p % 4))) % 2 = 1
+                         CASE WHEN cast(floor((strpos('0123456789abcdef', substr(h, cast(floor(p/4) as int) + 1, 1)) - 1)
+                                    / power(2, 3 - (p % 4))) as int) % 2 = 1
                               THEN 1 ELSE -1 END)) > 0
                        THEN 1 ELSE 0 END) AS b
               FROM t

@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "docs": n, "docs_per_sec": r, "cores": c}
+
+Headline set = the real workload (synthetic-corpus extraction, then
+extraction+assembly) plus the heaviest relational/dedup/ANN operators
+over the sf tables. The extraction corpus is generated on executors
+(deterministic, seeded) and sized by the sf dir name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from indu_doc_transformer_spark.operators import assembly as asm
+    from indu_doc_transformer_spark.operators import extraction as ex
+    from indu_doc_transformer_spark.plans.session import get_spark
+    from indu_doc_transformer_spark.sources.corpus import corpus_df, docs_for_sf, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    n_docs = docs_for_sf(sf)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        app_name="indu-doc-bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow path so q1 isn't charged for startup
+    corpus_df(spark, 32, partitions=4).count()
+
+    docs = corpus_df(spark, n_docs, partitions=cpus * 2)
+    docs = docs.persist()
+    docs.count()  # materialize corpus generation outside the timed region
+
+    timed("extract", lambda: ex.extract(docs, num_partitions=cpus * 2).count())
+
+    def full_assembly():
+        extracted = ex.extract(docs, num_partitions=cpus * 2)
+        tables = asm.assemble(ex.rows_table(extracted))
+        return tables["xtargets"].count() + tables["connections"].count()
+
+    timed("extract_assemble", full_assembly)
+
+    qs = entry.queries()
+    for name in (
+        "q_pricing_summary",
+        "q_top_orders",
+        "q_region_volume",
+        "q_sessionize",
+        "q_minhash_lsh_pairs",
+        "q_ann_bruteforce",
+        "q_simhash",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings["extract"]
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+assembly+operator wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs": n_docs,
+                "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
+                "cores": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -144,27 +144,18 @@ def simhash64(c: Column) -> Column:
     hexes = F.transform(toks, lambda t: F.md5(t))
 
     def bit_sum(p):
-        # p: Column 0..63; nibble index p/4 (1-based substr), bit in nibble 3-p%4
+        # p: Column 0..63; nibble index p/4 (1-based substr), bit 3-p%4
         nib_idx = (p / 4).cast("int") + 1
-        shift = F.lit(3) - (p % 4)
-        return F.aggregate(
-            hexes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                (
-                    (
-                        F.instr(
-                            F.lit("0123456789abcdef"), F.substring(h, nib_idx, 1)
-                        )
-                        - 1
-                    ).cast("int")
-                    .bitwiseAND(F.shiftleft(F.lit(1), shift))
-                )
-                > 0,
-                1,
-            ).otherwise(-1),
-        )
+        shift_pow = F.pow(F.lit(2.0), (F.lit(3) - (p % 4)).cast("double")).cast("int")
+
+        def vote(acc, h):
+            nib = (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, nib_idx, 1)) - 1
+            ).cast("int")
+            bit_on = ((nib / shift_pow).cast("int") % 2) == 1
+            return acc + F.when(bit_on, 1).otherwise(-1)
+
+        return F.aggregate(hexes, F.lit(0), vote)
 
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),

@@ -1,0 +1,72 @@
+"""Two-parallelism scaling run (BASELINE.md protocol): the same
+extraction job at local[8] and local[32] on identical input — the
+sandbox stand-in for N vs 4N executors. Writes BENCH/BASELINE.md.
+
+Efficiency = (throughput@32 / throughput@8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    r8 = run(8, sf_dir)
+    r32 = run(32, sf_dir)
+
+    th8 = r8["docs"] / r8["queries"]["extract"]
+    th32 = r32["docs"] / r32["queries"]["extract"]
+    eff = (th32 / th8) / 4.0
+
+    # whole-suite scaling too
+    tot_eff = (r8["value"] / r32["value"]) / 4.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured baseline (this repo)
+
+Protocol: BASELINE.md — same deterministic synthetic corpus
+({r8['docs']} docs, sf={r8['sf']}) extracted at two parallelism
+levels on one machine (sandbox stand-in for N vs 4N executors).
+
+| run | cores | extract wall (s) | docs/s | docs/s/core | suite total (s) |
+|---|---|---|---|---|---|
+| N  | 8  | {r8['queries']['extract']:.2f} | {th8:.1f} | {th8/8:.1f} | {r8['value']:.2f} |
+| 4N | 32 | {r32['queries']['extract']:.2f} | {th32:.1f} | {th32/32:.1f} | {r32['value']:.2f} |
+
+**Extraction scaling efficiency (N->4N): {eff:.3f}** (target >= 0.8)
+Whole-suite scaling efficiency: {tot_eff:.3f}
+
+Spark conf: shuffle.partitions = max(cores, 8), AQE on (coalesce +
+skew join), Arrow maxRecordsPerBatch = 2048, corpus generated on
+executors, extraction kernel salted on pmod(xxhash64(url), 2*cores).
+
+Per-query (32 cores): {json.dumps(r32['queries'])}
+Per-query (8 cores):  {json.dumps(r8['queries'])}
+"""
+        )
+    print(json.dumps({"eff_extract": eff, "eff_suite": tot_eff, "r8": r8, "r32": r32}))
+
+
+if __name__ == "__main__":
+    main()
