@@ -632,10 +632,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(np / cast(length(text) as double), 6) AS punct_ratio,
                    round(len(list_filter(toks, x -> x in ({_EN}))) / cast(len(toks) as double), 6) AS stop_ratio,
-                   round(least(length(text) / 500.0, 1.0) * 0.4
-                         + (1.0 - least(np / cast(length(text) as double) * 4.0, 1.0)) * 0.3
-                         + least(len(list_filter(toks, x -> x in ({_EN}))) / cast(len(toks) as double) * 5.0, 1.0) * 0.3,
-                         6) AS quality
+                   cast(least(length(text), 500) * 2 * 4
+                        + (1000 - least(cast(floor(np * 4000.0 / length(text)) as bigint), 1000)) * 3
+                        + least(cast(floor(len(list_filter(toks, x -> x in ({_EN}))) * 5000.0 / len(toks)) as bigint), 1000) * 3
+                        as bigint) AS quality
             FROM t
         """,
         "q_langid": f"""

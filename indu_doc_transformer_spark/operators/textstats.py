@@ -74,29 +74,18 @@ def lang_id(c: Column) -> Column:
 
 
 def quality_score(c: Column) -> Column:
-    """Length / punctuation / stopword blend in [0,1] — the reference-
-    style heuristic quality gate for web text."""
-    length_part = F.least(F.length(c) / F.lit(500.0), F.lit(1.0)) * 0.4
-    punct_part = (
-        F.lit(1.0)
-        - F.least(
-            F.size(F.regexp_extract_all(c, F.lit(_PUNCT_RE), F.lit(0)))
-            / F.length(c).cast("double")
-            * 4.0,
-            F.lit(1.0),
-        )
-    ) * 0.3
+    """Length / punctuation / stopword blend as an integer score in
+    [0, 10000]. Integer arithmetic end-to-end (floor of exactly-
+    representable ratios) so every engine computes the identical value
+    — float composition rounds differently at ulp boundaries."""
+    length = F.length(c)
+    np_ = F.size(F.regexp_extract_all(c, F.lit(_PUNCT_RE), F.lit(0)))
     toks = _tokens(c)
-    stop_part = (
-        F.least(
-            F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
-            / F.size(toks).cast("double")
-            * 5.0,
-            F.lit(1.0),
-        )
-        * 0.3
-    )
-    return F.round(length_part + punct_part + stop_part, 6)
+    nstop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    len_pts = F.least(length, F.lit(500)) * 2
+    punct_pts = F.lit(1000) - F.least(F.floor(np_ * 4000 / length), F.lit(1000))
+    stop_pts = F.least(F.floor(nstop * 5000 / F.size(toks)), F.lit(1000))
+    return (len_pts * 4 + punct_pts * 3 + stop_pts * 3).cast("bigint")
 
 
 def fingerprint(c: Column) -> Column:
