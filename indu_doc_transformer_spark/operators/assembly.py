@@ -450,11 +450,18 @@ class Assembler:
 
     # -- shared finishers ----------------------------------------------
 
-    def assemble(self, rows: DataFrame) -> dict[str, DataFrame]:
-        spark = rows.sparkSession
+    def assemble(self, rows: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+        """persist=True caches the fan-out points (rows feeds 8 handler
+        branches; conn_all/xall/linked feed several entity outputs) —
+        without it every output table re-executes the upstream
+        extraction kernel per branch. At warehouse scale the same role
+        is played by materializing stage tables (pipeline.run_assembly
+        reads rows back from storage)."""
         rows = rows.select(
             "url", "page_no", "page_type", "footer_tags", "row_idx", "cols", "loc_repr"
         )
+        if persist:
+            rows = rows.persist()
 
         branches = {
             "connection_list": self._h_connection_list,
@@ -584,6 +591,9 @@ class Assembler:
                 ),
             )
         )
+        if persist:
+            # feeds connections, links, pins, xtargets (3 roles), lineage
+            conn_all = conn_all.persist()
         connections = conn_all.select(
             F.col("conn_guid").alias("guid"), "src_guid", "dst_guid", "through_guid"
         ).dropDuplicates(["guid"])
@@ -598,6 +608,8 @@ class Assembler:
                 F.col("link_name"), F.col("src_pin"), F.col("dst_pin"), F.col("conn_guid")
             ),
         )
+        if persist:
+            linked = linked.persist()  # feeds links, pins, attachments, lineage
         links = linked.select(
             F.col("link_guid").alias("guid"),
             F.col("link_name").alias("name"),
@@ -644,6 +656,8 @@ class Assembler:
         for p in x_parts[1:]:
             xall = xall.unionByName(p)
         xall = xall.withColumn("guid", G.xtarget_guid(F.col("completed")))
+        if persist:
+            xall = xall.persist()  # feeds xtargets, aspects, attachments, lineage
 
         xtargets = (
             xall.groupBy("guid")

@@ -85,11 +85,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def salt_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Explicit url-hash salting + repartition (north rule): breaks up
-    hot hosts so one domain cannot stall a partition."""
-    return df.repartition(
-        num_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
-    )
+    """Explicit url-hash salting + repartition (north rule): hash-
+    partition on the full url so a hot host cannot stall a partition.
+
+    Deliberately NOT repartition(n, pmod(xxhash64(url), n)): feeding n
+    distinct salt values into n hash partitions collides (balls-into-
+    bins — some partitions get 3 salts, some 0). Hashing the url itself
+    gives each of the many distinct urls an independent partition draw,
+    which is statistically uniform regardless of the host distribution.
+    """
+    return df.repartition(num_partitions, F.col("url"))
 
 
 def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -1,0 +1,136 @@
+"""Training-data-pipeline operators: dedup, similarity, multimodal,
+streaming — functional checks with planted cases."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from indu_doc_transformer_spark.operators import dedup as dd
+from indu_doc_transformer_spark.operators import multimodal as mm
+from indu_doc_transformer_spark.operators import similarity as sim
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("garden", "meadow")),  # near-dup of 0
+        (2, BASE),  # exact dup of 0
+        (3, "completely different text about spark query engines and shuffles here"),
+        (4, "another unrelated document mentioning parquet files and arrow batches"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dd.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].keep_id == 0
+
+
+def test_minhash_lsh_finds_planted_neardup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal(docs):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", dd.simhash64(F.col("text")).alias("sh")).collect()}
+    assert out[0] == out[2]
+    assert len(out[0]) == 16
+    # near-dup hamming distance small, unrelated larger
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[3])
+
+
+def test_ann_bruteforce_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sim.ann_bruteforce_topk(df, "vec_id", "embedding", [0], k=3).collect()
+    got = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+
+    v = vecs.astype("float64")
+    cos = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    cos[0] = -2  # probe excluded
+    expect = sorted(range(50), key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [g[0] for g in got] == expect
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sim.ann_lsh_topk(df, "vec_id", "embedding", [0, 1], k=3, num_planes=2, dim=8)
+    rows = out.collect()
+    assert all(r.probe_id in (0, 1) and r.rank <= 3 for r in rows)
+    assert len(rows) >= 1  # same-bucket neighbors exist with 2 planes
+
+
+def test_multimodal_plumbing(spark):
+    media = mm.synth_media_df(spark, 24)
+    feats = mm.extract_features(media, fake=True).collect()
+    assert len(feats) == 24
+    assert all(len(r.feature) == mm.FEATURE_DIM and r.decode_ok for r in feats)
+    # deterministic fake features
+    h = hashlib.md5(hashlib.md5(b"media:0").digest() * 4).digest()
+    f0 = [h[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    got = next(r.feature for r in feats if r.media_id == 0)
+    assert [round(x, 6) for x in got] == [round(x, 6) for x in f0]
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", fake=False)
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = mm.synth_media_df(spark, 12)
+    rs = mm.resize_meta(media, 32).collect()
+    assert all(r.new_width <= 32 and r.new_height <= 32 for r in rs)
+    frames = mm.frame_sample_plan(media, 500)
+    assert frames.count() > 0
+
+
+def test_streaming_extract_incremental(spark, tmp_path):
+    from indu_doc_transformer_spark.sources.corpus import corpus_df
+    from indu_doc_transformer_spark.streaming.stream import stream_extract
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    corpus_df(spark, 30, partitions=2).write.mode("append").parquet(src)
+    stream_extract(spark, src, out, cp)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 30
+
+    # new arrivals only are processed on the next AvailableNow run
+    extra = corpus_df(spark, 45, partitions=2).subtract(corpus_df(spark, 30, partitions=2))
+    extra.write.mode("append").parquet(src)
+    stream_extract(spark, src, out, cp)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == 45
