@@ -30,7 +30,11 @@ def main() -> None:
     from indu_doc_transformer_spark.sources.corpus import corpus_df, docs_for_sf, sf_from_dir
 
     sf = sf_from_dir(sf_dir)
-    n_docs = docs_for_sf(sf)
+    # SPARK_GRAFT_BENCH_DOCS sizes the extraction corpus independently
+    # (the scaling protocol needs a compute-bound run: at 10k tiny docs
+    # fixed scheduling overhead swamps the kernel and efficiency is
+    # meaningless)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", docs_for_sf(sf)))
     spark = get_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
@@ -46,8 +50,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # warm the JVM/Arrow path so q1 isn't charged for startup
-    corpus_df(spark, 32, partitions=4).count()
+    # warm every python worker through the real kernel path (module
+    # import + Arrow serde) so the timed run measures steady state
+    ex.extract(corpus_df(spark, cpus * 4, partitions=cpus * 2)).count()
 
     docs = corpus_df(spark, n_docs, partitions=cpus * 2)
     docs = docs.persist()

@@ -414,6 +414,59 @@ SEARCH_ALIASES: dict[str, str] = {
 }
 
 
+def page_setups_to_json(setups: dict[str, PageSetup]) -> str:
+    """Serialize page setups (the reference's PageSettings.to_json
+    analog, page_settings.py:88-90) so extraction configs can ship as
+    data instead of code."""
+    out = {}
+    for name, ps in setups.items():
+        out[name] = {
+            "search_name": ps.search_name,
+            "description": ps.description,
+            "regions": {
+                rname: {
+                    "columns": [list(c) for c in rs.columns],
+                    "key_columns": [list(k) for k in rs.key_columns],
+                    "text_only": rs.text_only,
+                    "row_offset": rs.row_offset,
+                    "expected_num_tables": rs.expected_num_tables,
+                    "on_many_no_header": rs.on_many_no_header,
+                    "overlap_test": rs.overlap_test,
+                }
+                for rname, rs in ps.regions
+            },
+        }
+    return json.dumps(out, indent=1, ensure_ascii=False)
+
+
+def page_setups_from_json(s: str) -> dict[str, PageSetup]:
+    """Inverse of page_setups_to_json (page_settings.py:92-102)."""
+    data = json.loads(s)
+    out = {}
+    for name, ps in data.items():
+        regions = tuple(
+            (
+                rname,
+                RegionSetup(
+                    columns=tuple(tuple(c) for c in rv["columns"]),
+                    key_columns=tuple(tuple(k) for k in rv["key_columns"]),
+                    text_only=rv["text_only"],
+                    row_offset=rv["row_offset"],
+                    expected_num_tables=rv["expected_num_tables"],
+                    on_many_no_header=rv["on_many_no_header"],
+                    overlap_test=rv["overlap_test"],
+                ),
+            )
+            for rname, rv in ps["regions"].items()
+        )
+        out[name] = PageSetup(
+            search_name=ps["search_name"],
+            description=ps["description"],
+            regions=regions,
+        )
+    return out
+
+
 def classifier_map() -> dict[str, str]:
     """search string (lower) -> page_type key."""
     m = {v.search_name.strip().lower(): k for k, v in PAGE_SETUPS.items()}

@@ -53,7 +53,9 @@ class Assembly:
         elif attr_type == "ROUTING_TRACKS":
             tracks = value.split(";") if isinstance(value, str) else list(value)
             guid = tp.routing_tracks_attribute_guid(name, tracks)
-            vj = _jdump({"tracks": tracks})
+            # canonical sorted order: guid is order-insensitive, so the
+            # stored list must be too (see operators/assembly._routing_attr)
+            vj = _jdump({"tracks": sorted(tracks)})
         elif attr_type == "PLC_ADDRESS":
             guid = tp.plc_address_attribute_guid(name, value)
             vj = _jdump({"meta": value})

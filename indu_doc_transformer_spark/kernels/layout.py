@@ -436,6 +436,50 @@ def reshape_terminal_diagram(regions: dict[str, RegionTable]) -> RegionTable:
 # Whole-document extraction
 # ---------------------------------------------------------------------------
 
+# Tag-role columns that receive footer completion (create_xtarget ->
+# create_tag path, god.py:343-396). The kernel pre-computes completed
+# variants under '_c:'-prefixed keys so the relational assembly needs
+# no per-row Python UDF: ';'-list cells are completed piece-wise (the
+# handlers split them later), pin parts are carried through unchanged.
+_COMPLETE_COLUMNS = {
+    "connection_list": ["src_pin_tag", "dst_pin_tag"],
+    "device_tag_list": ["tag"],
+    "cable_overview": ["cable_tag", "src_tag", "dst_tag"],
+    "topology": ["designation", "src_tags", "dst_tags"],
+    "wires_part_list": ["src_pin_tag", "dst_pin_tag"],
+    "cable_diagram": ["cable_tag", "src_tag", "dst_tag"],
+    "plc_diagram": ["tag"],
+    "terminal_diagram": [
+        "_1cable_tag", "_1src_tag", "_1dst_tag",
+        "_2cable_tag", "_2src_tag", "_2dst_tag",
+    ],
+}
+
+
+def _completed_key(col: str) -> str:
+    """_1src_tag -> _1_c:src_tag (survives the terminal prefix split);
+    src_tag -> _c:src_tag."""
+    for p in ("_1", "_2"):
+        if col.startswith(p):
+            return f"{p}_c:{col[2:]}"
+    return f"_c:{col}"
+
+
+def _complete_cell(value: Optional[str], footer_tags: list[str], config) -> Optional[str]:
+    """Piece-wise footer completion of a (possibly ';'-joined) tag cell;
+    pin designations are re-attached after completing the tag part."""
+    from .tagparse import complete_tag_with_footer, split_pin_tag
+
+    if value is None:
+        return None
+    pieces = []
+    for piece in value.strip().split(";"):
+        tag_part, pin_part = split_pin_tag(piece)
+        pieces.append(
+            complete_tag_with_footer(tag_part, footer_tags, config) + (pin_part or "")
+        )
+    return ";".join(pieces)
+
 
 def _loc_repr(loc: Optional[BBox]) -> Optional[str]:
     if loc is None:
@@ -533,9 +577,18 @@ def extract_document(html: bytes | str, page_setups: dict[str, PageSetup] = PAGE
         errors.append(("FAULT", "No tables found"))
         return result
 
+    from ..config import DEFAULT_ASPECTS
+
+    complete_cols = _COMPLETE_COLUMNS.get(page_type, [])
+    footer_tags = footer["tags"]
     out_rows = []
     for row, loc, idx in zip(final.rows, final.locs, final.idxs):
         cols = {c: (v if v is not None else "") for c, v in zip(final.cols, row)}
+        for cc in complete_cols:
+            if cc in cols:
+                cols[_completed_key(cc)] = _complete_cell(
+                    cols[cc], footer_tags, DEFAULT_ASPECTS
+                )
         out_rows.append(
             {
                 "row_idx": idx,

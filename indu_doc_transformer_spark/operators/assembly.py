@@ -92,11 +92,14 @@ def _loc_attrs() -> Column:
 
 def _routing_attr(route_col: Column) -> Column:
     tracks = F.split(route_col, ";")
+    # value_json uses the sorted tracks: the guid is order-insensitive
+    # (attributes.py:373-381) so first-wins dedup over differently-
+    # ordered track lists would otherwise be nondeterministic
     return F.struct(
         G.routing_tracks_attribute_guid(F.lit("route"), tracks).alias("guid"),
         F.lit("route").alias("name"),
         F.lit("ROUTING_TRACKS").alias("type"),
-        F.to_json(F.struct(tracks.alias("tracks"))).alias("value_json"),
+        F.to_json(F.struct(F.array_sort(tracks).alias("tracks"))).alias("value_json"),
     )
 
 
@@ -184,8 +187,11 @@ class Assembler:
         cwl = ok.select(
             *_BASE,
             F.lit(None).cast("string").alias("through_tag"),
+            F.lit(None).cast("string").alias("through_tag_c"),
             F.col("tag_from").alias("src_pin_tag"),
+            _get("_c:src_pin_tag").alias("src_pin_tag_c"),
             F.col("tag_to").alias("dst_pin_tag"),
+            _get("_c:dst_pin_tag").alias("dst_pin_tag_c"),
             F.col("attrs").alias("link_attrs"),
             "loc_attrs",
         )
@@ -209,6 +215,7 @@ class Assembler:
         xreq = ok.select(
             *_BASE,
             F.col("tag").alias("raw_tag"),
+            _get("_c:tag").alias("raw_tag_c"),
             F.lit("device").alias("target_type"),
             "attrs",
         )
@@ -240,8 +247,11 @@ class Assembler:
         conn = ok.where((F.col("tag_from") != "") & (F.col("tag_to") != "")).select(
             *_BASE,
             F.col("tag").alias("through_tag"),
+            _get("_c:cable_tag").alias("through_tag_c"),
             F.col("tag_from").alias("src_tag"),
+            _get("_c:src_tag").alias("src_tag_c"),
             F.col("tag_to").alias("dst_tag"),
+            _get("_c:dst_tag").alias("dst_tag_c"),
             F.col("attrs").alias("through_attrs"),
             "loc_attrs",
         )
@@ -279,15 +289,25 @@ class Assembler:
                 F.array(_routing_attr(F.col("tags_route"))),
             ),
         ).withColumn("loc_attrs", _loc_attrs())
-        # J6: cartesian of ';'-split src x dst (page_processor.py:299-304)
+        # J6: cartesian of ';'-split src x dst (page_processor.py:299-304),
+        # raw pieces zipped with their kernel-completed variants
+        ok = (
+            ok.withColumn("rs", F.split("tags_src", ";"))
+            .withColumn("cs", F.split(_get("_c:src_tags"), ";"))
+            .withColumn("rd", F.split("tags_dst", ";"))
+            .withColumn("cd", F.split(_get("_c:dst_tags"), ";"))
+        )
         conn = (
-            ok.withColumn("t1", F.explode(F.split("tags_src", ";")))
-            .withColumn("t2", F.explode(F.split("tags_dst", ";")))
+            ok.withColumn("t1", F.explode(F.arrays_zip(F.col("rs"), F.col("cs"))))
+            .withColumn("t2", F.explode(F.arrays_zip(F.col("rd"), F.col("cd"))))
             .select(
                 *_BASE,
                 F.col("tag").alias("through_tag"),
-                F.col("t1").alias("src_tag"),
-                F.col("t2").alias("dst_tag"),
+                _get("_c:designation").alias("through_tag_c"),
+                F.col("t1.rs").alias("src_tag"),
+                F.col("t1.cs").alias("src_tag_c"),
+                F.col("t2.rd").alias("dst_tag"),
+                F.col("t2.cd").alias("dst_tag_c"),
                 F.col("attrs").alias("through_attrs"),
                 "loc_attrs",
             )
@@ -324,8 +344,11 @@ class Assembler:
         cwl = ok.select(
             *_BASE,
             F.lit(None).cast("string").alias("through_tag"),
+            F.lit(None).cast("string").alias("through_tag_c"),
             F.col("tag_src").alias("src_pin_tag"),
+            _get("_c:src_pin_tag").alias("src_pin_tag_c"),
             F.col("tag_dst").alias("dst_pin_tag"),
+            _get("_c:dst_pin_tag").alias("dst_pin_tag_c"),
             F.col("attrs").alias("link_attrs"),
             "loc_attrs",
         )
@@ -368,18 +391,21 @@ class Assembler:
         # reproduces that (arrays_zip pads with null instead)
         ok = (
             ok.withColumn("ts", F.split("tag_src", ";"))
+            .withColumn("cts", F.split(_get("_c:src_tag"), ";"))
             .withColumn("ps", F.split("pin_src", ";"))
             .withColumn("cs", F.split("tag", ";"))
+            .withColumn("ccs", F.split(_get("_c:cable_tag"), ";"))
             .withColumn("td", F.split("tag_dst", ";"))
+            .withColumn("ctd", F.split(_get("_c:dst_tag"), ";"))
             .withColumn("pd", F.split("pin_dst", ";"))
         )
         src_zip = F.slice(
-            F.arrays_zip(F.col("ts"), F.col("ps"), F.col("cs")),
+            F.arrays_zip(F.col("ts"), F.col("cts"), F.col("ps"), F.col("cs"), F.col("ccs")),
             1,
             F.least(F.size("ts"), F.size("ps"), F.size("cs")),
         )
         dst_zip = F.slice(
-            F.arrays_zip(F.col("td"), F.col("pd")),
+            F.arrays_zip(F.col("td"), F.col("ctd"), F.col("pd")),
             1,
             F.least(F.size("td"), F.size("pd")),
         )
@@ -391,8 +417,11 @@ class Assembler:
             F.when(F.col("sp.cs") != "", F.col("sp.cs")).otherwise(None).alias(
                 "through_tag"
             ),
+            F.col("sp.ccs").alias("through_tag_c"),
             F.concat(F.col("sp.ts"), F.lit(":"), F.col("sp.ps")).alias("src_pin_tag"),
+            F.concat(F.col("sp.cts"), F.lit(":"), F.col("sp.ps")).alias("src_pin_tag_c"),
             F.concat(F.col("dp.td"), F.lit(":"), F.col("dp.pd")).alias("dst_pin_tag"),
+            F.concat(F.col("dp.ctd"), F.lit(":"), F.col("dp.pd")).alias("dst_pin_tag_c"),
             F.col("attrs").alias("link_attrs"),
             "loc_attrs",
         )
@@ -425,6 +454,7 @@ class Assembler:
         xreq = ok.select(
             *_BASE,
             F.col("tag").alias("raw_tag"),
+            _get("_c:tag").alias("raw_tag_c"),
             F.lit("device").alias("target_type"),
             "attrs",
         )
@@ -506,11 +536,15 @@ class Assembler:
         # ---- create_connection_with_link guards (god.py:507-533) ----
         src_tag, src_pin = _split_pin(F.col("src_pin_tag"))
         dst_tag, dst_pin = _split_pin(F.col("dst_pin_tag"))
+        src_tag_c, _ = _split_pin(F.col("src_pin_tag_c"))
+        dst_tag_c, _ = _split_pin(F.col("dst_pin_tag_c"))
         cwl = (
             cwl.withColumn("src_tag", src_tag)
             .withColumn("src_pin", src_pin)
             .withColumn("dst_tag", dst_tag)
             .withColumn("dst_pin", dst_pin)
+            .withColumn("src_tag_c", src_tag_c)
+            .withColumn("dst_tag_c", dst_tag_c)
         )
         no_pins = (
             F.col("src_pin").isNull() | (F.col("src_pin") == "")
@@ -541,19 +575,18 @@ class Assembler:
 
         # ---- connections (both paths) --------------------------------
         cwl_conn = cwl.select(
-            *_BASE, "through_tag", "src_tag", "dst_tag",
+            *_BASE, "through_tag", "through_tag_c",
+            "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
             F.col("loc_attrs").alias("through_attrs"), "loc_attrs",
-            F.col("src_pin_tag"), F.col("dst_pin_tag"),
             "src_pin", "dst_pin", "link_attrs",
             F.lit(True).alias("with_link"),
         )
         conn_all = cwl_conn
         if conn is not None:
             conn_only = conn.select(
-                *_BASE, "through_tag", "src_tag", "dst_tag", "through_attrs",
-                "loc_attrs",
-                F.lit(None).cast("string").alias("src_pin_tag"),
-                F.lit(None).cast("string").alias("dst_pin_tag"),
+                *_BASE, "through_tag", "through_tag_c",
+                "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
+                "through_attrs", "loc_attrs",
                 F.lit(None).cast("string").alias("src_pin"),
                 F.lit(None).cast("string").alias("dst_pin"),
                 F.expr(f"cast(array() as {ATTR_TYPE})").alias("link_attrs"),
@@ -567,20 +600,18 @@ class Assembler:
             F.when(F.col("through_tag") == "", None).otherwise(F.col("through_tag")),
         )
 
-        # footer completion (one UDF per role) + guid hashing
-        def completed_guid(tag_col: str):
-            completed = self.complete_tag(F.col(tag_col), F.col("footer_tags"))
-            # pin-tag prohibition: create_xtarget returns None (god.py:351-354)
-            return (
-                F.when(
-                    F.col(tag_col).isNull() | F.col(tag_col).contains(":"), None
-                ).otherwise(completed)
-            )
+        # completed tags were computed in the extraction kernel ('_c:'
+        # columns) — no per-row Python here. Pin-tag prohibition:
+        # create_xtarget returns None for raw tags with ':' (god.py:351-354)
+        def completed(raw_col: str, c_col: str):
+            return F.when(
+                F.col(raw_col).isNull() | F.col(raw_col).contains(":"), None
+            ).otherwise(F.col(c_col))
 
         conn_all = (
-            conn_all.withColumn("through_completed", completed_guid("through_tag"))
-            .withColumn("src_completed", completed_guid("src_tag"))
-            .withColumn("dst_completed", completed_guid("dst_tag"))
+            conn_all.withColumn("through_completed", completed("through_tag", "through_tag_c"))
+            .withColumn("src_completed", completed("src_tag", "src_tag_c"))
+            .withColumn("dst_completed", completed("dst_tag", "dst_tag_c"))
             .withColumn("through_guid", G.xtarget_guid(F.col("through_completed")))
             .withColumn("src_guid", G.xtarget_guid(F.col("src_completed")))
             .withColumn("dst_guid", G.xtarget_guid(F.col("dst_completed")))
@@ -635,7 +666,7 @@ class Assembler:
         x_parts = []
         if xreq is not None:
             x_parts.append(
-                xreq.withColumn("completed", completed_guid("raw_tag"))
+                xreq.withColumn("completed", completed("raw_tag", "raw_tag_c"))
                 .where(F.col("completed").isNotNull())
                 .select(*_BASE, "completed", "target_type", "attrs")
             )

@@ -16,7 +16,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # compute-bound extraction corpus (see bench.py): 200k docs is
+        # ~70 core-seconds of kernel work, enough to dominate fixed
+        # scheduling overhead at 32 cores
+        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"),
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
