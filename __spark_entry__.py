@@ -130,6 +130,41 @@ def x_ann_lsh(spark, sf_dir):
     return sim.ann_lsh_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
 
 
+def x_search_targets(spark, sf_dir):
+    """F10/§3.2: query-string -> Column predicate over the entity tables."""
+    from indu_doc_transformer_spark.operators import search as s_op
+
+    idx = s_op.build_target_index(_entities(spark, sf_dir))
+    return s_op.search_targets(idx, "=F1 @type=device")
+
+
+def x_search_connections(spark, sf_dir):
+    from indu_doc_transformer_spark.operators import search as s_op
+
+    idx = s_op.build_connection_index(_entities(spark, sf_dir))
+    return s_op.search_connections(idx, "@links.attributes(Color)")
+
+
+def x_aml_export(spark, sf_dir):
+    """S9/A15: per-hierarchy AML XML serialization."""
+    from indu_doc_transformer_spark.operators import export as ex_op
+
+    return ex_op.aml_export(_entities(spark, sf_dir)["xtargets"]).select(
+        "root", "n_targets", F.length("xml").alias("xml_len")
+    )
+
+
+def x_lineage_lookup(spark, sf_dir):
+    """J5: object -> pages reverse lookup over the lineage table."""
+    t = _entities(spark, sf_dir)
+    lin = t["lineage"]
+    return (
+        lin.groupBy("object_guid", "object_type")
+        .agg(F.countDistinct("url").alias("n_pages"))
+        .where(F.col("n_pages") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracled queries
 # ---------------------------------------------------------------------------
@@ -473,6 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_partition_metrics": x_partition_metrics,
         "x_multimodal_features": x_multimodal_features,
         "x_ann_lsh": x_ann_lsh,
+        "x_search_targets": x_search_targets,
+        "x_search_connections": x_search_connections,
+        "x_aml_export": x_aml_export,
+        "x_lineage_lookup": x_lineage_lookup,
     }
 
 

@@ -108,6 +108,10 @@ def minhash_lsh_pairs(
     buckets = base.select(
         "id", "sh", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bb")
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the signature subtree is expensive (higher-order md5 folds are
+    # interpreted, not codegen'd) and the self-join would evaluate it
+    # twice — materialize it once
+    buckets = buckets.persist()
 
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -34,6 +34,23 @@ def test_full_pipeline_outputs(spark, tmp_path):
     assert pm.agg(F.sum("docs")).first()[0] == N
 
 
+def test_entity_tables_roundtrip_equality(spark, tmp_path):
+    """S8/§5.3: written entity tables read back equal to the in-memory
+    assembly result (the reference's DB save/load self-check,
+    manager.py:505-531)."""
+    from indu_doc_transformer_spark.operators import assembly as asm_op
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    docs = corpus_df(spark, 60, partitions=4)
+    tables = asm_op.assemble(ex.rows_table(ex.extract(docs, 4)))
+    for name in ("xtargets", "connections", "links", "pins", "attributes"):
+        p = str(tmp_path / name)
+        tables[name].write.parquet(p)
+        back = spark.read.parquet(p)
+        orig = {tuple(r) for r in tables[name].collect()}
+        assert {tuple(r) for r in back.collect()} == orig
+
+
 def test_kill_and_resume_is_idempotent(spark, tmp_path):
     """Kill after the first chunk; restart; outputs equal an
     uninterrupted run with zero duplicate/lost urls (north rule)."""
