@@ -125,7 +125,10 @@ def complete_tag_with_footer(
             break
         if sep in footer_parts:
             prefix += f"{sep}{footer_parts[sep]}"
-    return prefix + base
+    # the reference builds Tag(prefix + tag) whose tag_str strips at the
+    # FIRST ':' of the combined string (tag.py:224,156-176) — a footer
+    # value containing ':' therefore truncates the completed tag
+    return strip_pin(prefix + base)
 
 
 def reconstruct_name(tag_str: str, config: AspectsConfig) -> str:
