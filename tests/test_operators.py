@@ -45,6 +45,21 @@ def test_minhash_lsh_finds_planted_neardup(docs):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_fast_matches_sql(spark, docs):
+    """The Arrow kernel must be bit-identical to the SQL formulation
+    (the DuckDB oracle checks the SQL one)."""
+    from pyspark.sql import functions as F
+
+    sql_side = docs.select(
+        "doc_id",
+        dd.word_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("sig", dd.minhash_signature(F.col("sh"), 16))
+    fast = docs.select("doc_id", dd._shingle_sig_udf(16, 3)(F.col("text")).alias("ss"))
+    a = {r.doc_id: (list(r.sh), list(r.sig)) for r in sql_side.collect()}
+    b = {r.doc_id: (list(r.ss.sh), list(r.ss.sig)) for r in fast.collect()}
+    assert a == b
+
+
 def test_simhash_identical_docs_equal(docs):
     out = {r.doc_id: r.sh for r in docs.select("doc_id", dd.simhash64(F.col("text")).alias("sh")).collect()}
     assert out[0] == out[2]
