@@ -39,6 +39,8 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
         app_name="indu-doc-bench",
+        # binary-blob tables need small splits to feed every core
+        extra_conf={"spark.sql.files.maxPartitionBytes": "12m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,18 +56,31 @@ def main() -> None:
     # import + Arrow serde) so the timed run measures steady state
     ex.extract(corpus_df(spark, cpus * 4, partitions=cpus * 2)).count()
 
-    docs = corpus_df(spark, n_docs, partitions=cpus * 2)
-    docs = docs.persist()
-    docs.count()  # materialize corpus generation outside the timed region
+    # production layout: the corpus lives on disk bucket-partitioned by
+    # url-hash (written untimed); extraction reads it with small splits
+    import tempfile
 
-    timed("extract", lambda: ex.extract(docs, num_partitions=cpus * 2).count())
+    workdir = tempfile.mkdtemp(prefix="bench_")
+    corpus_path = f"{workdir}/corpus"
+    corpus_df(spark, n_docs, partitions=cpus * 2).write.mode("overwrite").parquet(
+        corpus_path
+    )
+    docs = spark.read.option("mergeSchema", "false").parquet(corpus_path)
 
-    def full_assembly():
-        extracted = ex.extract(docs, num_partitions=cpus * 2)
+    timed("extract", lambda: ex.extract(docs).count())
+
+    extracted_path = f"{workdir}/extracted"
+    timed(
+        "extract_write",
+        lambda: ex.extract(docs).write.mode("overwrite").parquet(extracted_path),
+    )
+
+    def assemble_stage():
+        extracted = spark.read.parquet(extracted_path)
         tables = asm.assemble(ex.rows_table(extracted))
         return tables["xtargets"].count() + tables["connections"].count()
 
-    timed("extract_assemble", full_assembly)
+    timed("assemble", assemble_stage)
 
     qs = entry.queries()
     for name in (
