@@ -62,18 +62,28 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_df(spark, n)
 
 
+# memoized per (session, sf_dir): the driver runs many x_ queries in one
+# process; extraction+assembly are shared, not recomputed per query
+_CACHE: dict = {}
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    return ex.extract(_corpus(spark, sf_dir), num_partitions=32)
+    key = (id(spark), sf_dir, "extracted")
+    if key not in _CACHE:
+        _CACHE[key] = ex.extract(_corpus(spark, sf_dir), num_partitions=32).persist()
+    return _CACHE[key]
 
 
 def _entities(spark: SparkSession, sf_dir: str):
     from indu_doc_transformer_spark.operators import assembly as asm
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    extracted = _extracted(spark, sf_dir)
-    return asm.assemble(ex.rows_table(extracted))
+    key = (id(spark), sf_dir, "entities")
+    if key not in _CACHE:
+        _CACHE[key] = asm.assemble(ex.rows_table(_extracted(spark, sf_dir)))
+    return _CACHE[key]
 
 
 def x_extract_text(spark, sf_dir):
