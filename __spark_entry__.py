@@ -164,6 +164,16 @@ def x_aml_export(spark, sf_dir):
     )
 
 
+def x_aspect_tree(spark, sf_dir):
+    """A14: rollup over the aspect hierarchy (manager.py get_tree)."""
+    from indu_doc_transformer_spark.operators import export as ex_op
+
+    t = _entities(spark, sf_dir)
+    return ex_op.aspect_tree(t["xtargets"]).select(
+        "level1", "level2", "level3", "n", F.size("tags").alias("n_tags")
+    )
+
+
 def x_lineage_lookup(spark, sf_dir):
     """J5: object -> pages reverse lookup over the lineage table."""
     t = _entities(spark, sf_dir)
@@ -521,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_search_targets": x_search_targets,
         "x_search_connections": x_search_connections,
         "x_aml_export": x_aml_export,
+        "x_aspect_tree": x_aspect_tree,
         "x_lineage_lookup": x_lineage_lookup,
     }
 

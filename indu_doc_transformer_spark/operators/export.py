@@ -92,6 +92,32 @@ def aml_export(xtargets: DataFrame, config: AspectsConfig = DEFAULT_ASPECTS) -> 
     return grouped.mapInPandas(serialize, schema=XML_SCHEMA)
 
 
+def aspect_tree(
+    xtargets: DataFrame, config: AspectsConfig = DEFAULT_ASPECTS, depth: int = 3
+) -> DataFrame:
+    """Prefix tree by aspect levels (A14, manager.py:317-345 get_tree):
+    grouping over the first `depth` hierarchy levels with the tag set
+    collected at each leaf — the manual-rollup-as-groupBy recast."""
+    parts_udf = _path_levels(config)
+    seps = config.separators[:depth]
+    df = xtargets.withColumn("parts", parts_udf(F.col("tag")))
+    levels = [
+        F.concat(
+            F.lit(sep),
+            F.coalesce(
+                F.element_at(F.try_element_at("parts", F.lit(sep)), 1), F.lit("")
+            ),
+        ).alias(f"level{i}")
+        for i, sep in enumerate(seps, 1)
+    ]
+    level_names = [f"level{i}" for i in range(1, len(seps) + 1)]
+    return (
+        df.select(*levels, "tag")
+        .groupBy(*level_names)
+        .agg(F.sort_array(F.collect_set("tag")).alias("tags"), F.count("*").alias("n"))
+    )
+
+
 def stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Entity counts (manager.py:350-382): (table, n)."""
     spark = next(iter(tables.values())).sparkSession

@@ -130,6 +130,26 @@ def test_multimodal_resize_and_frames(spark):
     assert frames.count() > 0
 
 
+def test_streaming_windowed_metrics(spark, tmp_path):
+    from indu_doc_transformer_spark.sources.corpus import corpus_df
+    from indu_doc_transformer_spark.streaming.stream import stream_metrics
+
+    src = str(tmp_path / "msrc")
+    corpus_df(spark, 40, partitions=2).write.mode("append").parquet(src)
+    agg = stream_metrics(spark, src, str(tmp_path / "mcp"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("metrics_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from metrics_test").collect()
+    assert sum(r.docs for r in rows) == 40
+    assert any(r.page_type is not None and r.rows > 0 for r in rows)
+
+
 def test_streaming_extract_incremental(spark, tmp_path):
     from indu_doc_transformer_spark.sources.corpus import corpus_df
     from indu_doc_transformer_spark.streaming.stream import stream_extract
