@@ -63,6 +63,9 @@ def _parse_bbox(s: Optional[str]) -> Optional[tuple[float, float, float, float]]
     return tuple(parts) if len(parts) == 4 else None
 
 
+_EMPTY_ATTRS: dict[str, str] = {}
+
+
 def _attrs(raw: str) -> dict[str, str]:
     return dict(_ATTR.findall(raw or ""))
 
@@ -102,7 +105,7 @@ def parse_blocks(html: bytes | str, lang_hint: str = "") -> list[Block]:
             cur = None
 
     for m in _TOKEN.finditer(html):
-        closing, tag, rawattrs, text = m.group(1), m.group(2), m.group(3), m.group(4)
+        closing, tag, rawattrs, text = m.groups()
 
         if text is not None:
             if cell_text is not None:
@@ -114,7 +117,8 @@ def parse_blocks(html: bytes | str, lang_hint: str = "") -> list[Block]:
             continue
 
         tag = tag.lower()
-        a = _attrs(rawattrs)
+        # attribute parse only when the tag actually carries key="value"
+        a = _attrs(rawattrs) if rawattrs and "=" in rawattrs else _EMPTY_ATTRS
 
         if tag in ("html", "head", "title", "body", "meta", "br", "hr"):
             continue

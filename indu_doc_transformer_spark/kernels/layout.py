@@ -465,20 +465,28 @@ def _completed_key(col: str) -> str:
     return f"_c:{col}"
 
 
-def _complete_cell(value: Optional[str], footer_tags: list[str], config) -> Optional[str]:
+def _complete_cell(
+    value: Optional[str], fparts: dict, config, memo: dict
+) -> Optional[str]:
     """Piece-wise footer completion of a (possibly ';'-joined) tag cell;
-    pin designations are re-attached after completing the tag part."""
-    from .tagparse import complete_tag_with_footer, split_pin_tag
+    pin designations are re-attached after completing the tag part.
+    Memoized per document (tag cells repeat heavily)."""
+    from .tagparse import complete_tag_with_parts, split_pin_tag
 
     if value is None:
         return None
+    hit = memo.get(value)
+    if hit is not None:
+        return hit
     pieces = []
     for piece in value.strip().split(";"):
         tag_part, pin_part = split_pin_tag(piece)
         pieces.append(
-            complete_tag_with_footer(tag_part, footer_tags, config) + (pin_part or "")
+            complete_tag_with_parts(tag_part, fparts, config) + (pin_part or "")
         )
-    return ";".join(pieces)
+    out = ";".join(pieces)
+    memo[value] = out
+    return out
 
 
 def _loc_repr(loc: Optional[BBox]) -> Optional[str]:
@@ -578,16 +586,18 @@ def extract_document(html: bytes | str, page_setups: dict[str, PageSetup] = PAGE
         return result
 
     from ..config import DEFAULT_ASPECTS
+    from .tagparse import footer_parts
 
     complete_cols = _COMPLETE_COLUMNS.get(page_type, [])
-    footer_tags = footer["tags"]
+    fparts = footer_parts(footer["tags"], DEFAULT_ASPECTS)
+    memo: dict = {}
     out_rows = []
     for row, loc, idx in zip(final.rows, final.locs, final.idxs):
         cols = {c: (v if v is not None else "") for c, v in zip(final.cols, row)}
         for cc in complete_cols:
             if cc in cols:
                 cols[_completed_key(cc)] = _complete_cell(
-                    cols[cc], footer_tags, DEFAULT_ASPECTS
+                    cols[cc], fparts, DEFAULT_ASPECTS, memo
                 )
         out_rows.append(
             {

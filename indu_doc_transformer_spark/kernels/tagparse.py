@@ -97,18 +97,10 @@ def tag_parts(tag_str: str, config: AspectsConfig) -> dict[str, tuple[str, ...]]
     return {sep: parsed.get(sep, ()) for sep in config.separator_ge(parsed.keys())}
 
 
-def complete_tag_with_footer(
-    tag_str: str, footer_tags: list[str], config: AspectsConfig
-) -> str:
-    """Prepend footer aspect values for every level of higher priority
-    than the first level present in the page tag (tag.py:178-224).
-
-    e.g. page tag ``-M2`` + footer ``["=F1", "+L1"]`` -> ``=F1+L1-M2``.
-    Returns the *completed tag string* (pin already stripped).
-    """
-    base = strip_pin(tag_str)
-    parts = tag_parts(base, config)
-    footer_parts: dict[str, str] = {}
+def footer_parts(footer_tags: list[str], config: AspectsConfig) -> dict[str, str]:
+    """First value per separator from the footer tags, skipping '&' and
+    empties (tag.py:200-211). Compute once per document."""
+    out: dict[str, str] = {}
     for foo in footer_tags:
         parsed = try_parse_tag(foo, tuple(config.separators))
         if not parsed:
@@ -117,8 +109,17 @@ def complete_tag_with_footer(
             # '&' document separator and empty aspects are ignored
             # (tag.py:206-211).
             if sep != "&" and vals and vals != ("",):
-                footer_parts[sep] = vals[0]
+                out[sep] = vals[0]
+    return out
 
+
+def complete_tag_with_parts(
+    tag_str: str, fparts: dict[str, str], config: AspectsConfig
+) -> str:
+    """complete_tag_with_footer with the footer pre-parsed."""
+    base = strip_pin(tag_str)
+    parts = tag_parts(base, config)
+    footer_parts = fparts
     prefix = ""
     for sep in config.separators:
         if sep in parts and parts[sep]:
@@ -129,6 +130,18 @@ def complete_tag_with_footer(
     # FIRST ':' of the combined string (tag.py:224,156-176) — a footer
     # value containing ':' therefore truncates the completed tag
     return strip_pin(prefix + base)
+
+
+def complete_tag_with_footer(
+    tag_str: str, footer_tags: list[str], config: AspectsConfig
+) -> str:
+    """Prepend footer aspect values for every level of higher priority
+    than the first level present in the page tag (tag.py:178-224).
+
+    e.g. page tag ``-M2`` + footer ``["=F1", "+L1"]`` -> ``=F1+L1-M2``.
+    Returns the *completed tag string* (pin already stripped).
+    """
+    return complete_tag_with_parts(tag_str, footer_parts(footer_tags, config), config)
 
 
 def reconstruct_name(tag_str: str, config: AspectsConfig) -> str:

@@ -47,16 +47,34 @@ def run_extraction(
     """Stage 1 with checkpoint/resume. Extraction output keeps the
     bucket column for partition pruning downstream."""
 
+    from pyspark.sql import Observation
+
+    observations: list[Observation] = []
+
     def process(chunk: DataFrame) -> DataFrame:
         pruned = chunk.select("url", "warc_ts", "html", "lang", "bucket")
         # salt/repartition on the bucket key itself: co-locates the
         # kernel work with the downstream partitioned write
         pruned = pruned.repartition(max(8, chunk_size), F.col("bucket"), F.col("url"))
-        return pruned.mapInPandas(
+        extracted = pruned.mapInPandas(
             ex._extract_batches, schema=ex.EXTRACTION_SCHEMA + ", bucket int"
         )
+        # E3 job-level progress/counters: observed metrics ride the
+        # write action, no extra pass (plugin.py:176-187 analog)
+        obs = Observation(f"extract_chunk_{len(observations)}")
+        observations.append(obs)
+        return extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.size("rows")).alias("rows"),
+            F.sum(
+                F.size(F.filter("errors", lambda e: e["severity"] == "FAULT"))
+            ).alias("faults"),
+        )
 
-    return run_checkpointed(docs, out_dir, process, num_buckets, chunk_size)
+    stats = run_checkpointed(docs, out_dir, process, num_buckets, chunk_size)
+    stats["observed"] = [o.get for o in observations]
+    return stats
 
 
 def run_assembly(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

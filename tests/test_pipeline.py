@@ -32,6 +32,8 @@ def test_full_pipeline_outputs(spark, tmp_path):
     assert et.count() == N
     pm = spark.read.parquet(os.path.join(out, "metrics_partitions"))
     assert pm.agg(F.sum("docs")).first()[0] == N
+    # E3 observed job-level counters cover every processed doc
+    assert sum(m["docs"] for m in stats["observed"]) == N
 
 
 def test_entity_tables_roundtrip_equality(spark, tmp_path):
