@@ -427,6 +427,62 @@ def q_exact_dedup(spark, sf_dir):
     return dd.exact_duplicates(d, "doc_id", "head")
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """The actual dedup filter: every doc survives except non-keeper
+    members of exact-duplicate groups."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(ts.norm_text(F.substring("text", 1, 30)))
+    )
+    w = Window.partitionBy("fp")
+    return (
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+
+
+def q_connection_guid(spark, sf_dir):
+    """F8/J4 relationally: the reference's recursive connection GUID
+    (char-explosion quirk) computed for synthetic supplier pairs —
+    join elimination by hashing both sides."""
+    from indu_doc_transformer_spark.functions.guids import connection_guid
+
+    s = _t(spark, sf_dir, "supplier")
+    pairs = s.select(
+        F.col("s_suppkey").alias("a"),
+        md5_uuid(F.col("s_name")).alias("src_guid"),
+        md5_uuid(F.concat(F.col("s_name"), F.lit("#peer"))).alias("dst_guid"),
+    )
+    return pairs.select(
+        "a",
+        connection_guid(
+            F.col("src_guid"), F.col("dst_guid"), F.lit(None).cast("string")
+        ).alias("conn_guid"),
+    )
+
+
+def q_tumbling_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation (streaming semantics in
+    batch): per-hour per-type counts keyed by epoch seconds."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_minhash_signature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(dd.word_shingles(F.col("text"), 3), 16)
@@ -509,6 +565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_fingerprint": q_fingerprint,
+        "q_dedup_keep_list": q_dedup_keep_list,
+        "q_connection_guid": q_connection_guid,
+        "q_tumbling_counts": q_tumbling_counts,
         # dedup family (oracled)
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_signature": q_minhash_signature,
@@ -708,6 +767,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
+        """,
+        "q_dedup_keep_list": """
+            WITH d AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(substr(text,1,30), '\\s+', ' ', 'g')))) AS fp
+              FROM documents
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM d
+            ) WHERE doc_id = keep_id
+        """,
+        "q_connection_guid": f"""
+            WITH pairs AS (
+              SELECT s_suppkey AS a,
+                     {_sql_md5_uuid("s_name")} AS src_guid,
+                     {_sql_md5_uuid("s_name || '#peer'")} AS dst_guid
+              FROM supplier
+            )
+            SELECT a,
+                   {_sql_md5_uuid(
+                       "concat('CONN:', "
+                       "array_to_string(regexp_extract_all(src_guid, '.'), ':'), ':', "
+                       "array_to_string(regexp_extract_all(dst_guid, '.'), ':'), ':', "
+                       "'THROUGH:None')"
+                   )} AS conn_guid
+            FROM pairs
+        """,
+        "q_tumbling_counts": """
+            SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS bucket_start,
+                   event_type, count(*) AS n,
+                   round(cast(sum(cast(value as decimal(18,4))) as double), 4) AS sum_value
+            FROM events GROUP BY bucket_start, event_type
         """,
         "q_exact_dedup": """
             SELECT md5(lower(trim(regexp_replace(substr(text,1,30), '\\s+', ' ', 'g')))) AS fp,
