@@ -1,15 +1,20 @@
 """Relational entity assembly: normalized extraction rows -> deduplicated
-entity tables, entirely in DataFrame algebra.
+entity tables, entirely in DataFrame algebra, in a SINGLE pass over the
+rows table.
 
 This is the Spark-first re-expression of the reference's God factory
 layer (god.py:237-565) and per-type page handlers
 (page_processor.py:107-521). Where the reference upserts into
 in-memory dicts row by row, we:
 
-- branch rows by page_type into handler subplans (T12),
-- expand ';'-products with explode (J6) and arrays_zip (zip-truncation
-  matched with slice+least),
-- complete tags against footers with one Arrow-batched pandas UDF (F5),
+- project every row into an array of typed *requests* (xtarget /
+  connection / connection-with-link / aspect / error / attribute-pool)
+  with one CASE over page_type — ';'-products (J6) and the terminal
+  _1/_2 side split (T9) are built inside array transforms, so the whole
+  handler layer is ONE scan + ONE explode (the previous design scanned
+  the rows table once per handler branch — 8 passes at 10^12-row scale),
+- complete tags against footers in the extraction kernel (the '_c:'
+  columns — no per-row Python here at all),
 - compute every GUID as a native md5 expression (F8 — join
   elimination: FK assignment never joins, both sides hash),
 - finalize with groupBy(guid) merges: max type priority (A4),
@@ -29,13 +34,35 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ASPECTS, AspectsConfig
 from ..functions import guids as G
-from ..functions.tags import (
-    make_complete_tag_udf,
-    make_single_aspect_udf,
-    make_tag_parts_udf,
-)
+from ..functions.tags import make_single_aspect_udf, make_tag_parts_udf
 
 ATTR_TYPE = "array<struct<guid:string,name:string,type:string,value_json:string>>"
+EMPTY_ATTRS = f"cast(array() as {ATTR_TYPE})"
+
+# unified request struct: one array element per factory call
+_REQ_FIELDS = [
+    ("kind", "string"),        # xreq | conn | cwl | aspect | error
+    ("raw_tag", "string"),     # xreq/aspect
+    ("raw_tag_c", "string"),
+    ("target_type", "string"),
+    ("through_tag", "string"),  # conn/cwl
+    ("through_tag_c", "string"),
+    ("src_tag", "string"),      # conn (pre-split); cwl uses *_pin_tag
+    ("src_tag_c", "string"),
+    ("dst_tag", "string"),
+    ("dst_tag_c", "string"),
+    ("src_pin_tag", "string"),  # cwl
+    ("src_pin_tag_c", "string"),
+    ("dst_pin_tag", "string"),
+    ("dst_pin_tag_c", "string"),
+    ("message", "string"),      # error
+]
+REQ_TYPE = (
+    "struct<"
+    + ",".join(f"{n}:{t}" for n, t in _REQ_FIELDS)
+    + f",attrs:{ATTR_TYPE},link_attrs:{ATTR_TYPE},"
+    + f"through_attrs:{ATTR_TYPE},loc_attrs:{ATTR_TYPE}>"
+)
 
 TYPE_PRIORITY = {"cable": 3, "device": 2, "strip": 1, "other": 0}
 
@@ -50,16 +77,16 @@ def _pri_name(pri_col: Column) -> Column:
     return c.when(pri_col == 1, "strip").otherwise("other")
 
 
-def _get(name: str) -> Column:
+def _g(cols: Column, name: str) -> Column:
     """str(row[name]).strip() with missing-key -> '' (handler accessor)."""
-    return F.trim(F.coalesce(F.try_element_at("cols", F.lit(name)), F.lit("")))
+    return F.trim(F.coalesce(F.try_element_at(cols, F.lit(name)), F.lit("")))
 
 
-def _simple_attrs(exclude: list[str]) -> Column:
+def _simple_attrs(cols: Column, exclude: list[str]) -> Column:
     """SIMPLE attributes from every non-excluded, non-meta, non-empty
     column (page_processor.py:122-130 pattern)."""
     entries = F.filter(
-        F.map_entries("cols"),
+        F.map_entries(cols),
         lambda e: (~e["key"].isin(exclude))
         & (~e["key"].startswith("_"))
         & (F.trim(e["value"]) != ""),
@@ -86,7 +113,7 @@ def _loc_attrs() -> Column:
         ).alias("value_json"),
     )
     return F.when(F.col("loc_repr").isNotNull(), F.array(attr)).otherwise(
-        F.expr(f"cast(array() as {ATTR_TYPE})")
+        F.expr(EMPTY_ATTRS)
     )
 
 
@@ -103,13 +130,13 @@ def _routing_attr(route_col: Column) -> Column:
     )
 
 
-def _plc_attr() -> Column:
+def _plc_attr(cols: Column) -> Column:
     """PLC_ADDRESS attribute: address + sorted k=v metadata
     (attributes.py:492-500)."""
     entries = F.array_sort(
         F.transform(
             F.filter(
-                F.map_entries("cols"),
+                F.map_entries(cols),
                 lambda e: (~e["key"].isin(["tag", "plc_addr"]))
                 & (~e["key"].startswith("_"))
                 & (F.trim(e["value"]) != ""),
@@ -117,7 +144,7 @@ def _plc_attr() -> Column:
             lambda e: F.struct(e["key"].alias("key"), F.trim(e["value"]).alias("value")),
         )
     )
-    addr = _get("plc_addr")
+    addr = _g(cols, "plc_addr")
     return F.struct(
         G.plc_address_attribute_guid(addr, F.map_from_entries(entries)).alias("guid"),
         addr.alias("name"),
@@ -126,24 +153,30 @@ def _plc_attr() -> Column:
     )
 
 
-def _err(msg: Column) -> list[Column]:
-    return [
-        F.col("url"),
-        F.col("page_no"),
-        F.lit("WARNING").alias("severity"),
-        msg.alias("message"),
-    ]
+def _req(**fields) -> Column:
+    """Build one request struct, nulling unset fields."""
+    parts = []
+    for name, _t in _REQ_FIELDS:
+        parts.append(
+            (fields[name] if name in fields else F.lit(None).cast("string")).alias(name)
+        )
+    for name in ("attrs", "link_attrs", "through_attrs", "loc_attrs"):
+        parts.append(
+            (fields[name] if name in fields else F.expr(EMPTY_ATTRS)).alias(name)
+        )
+    return F.struct(*parts)
 
 
-_BASE = ["url", "page_no", "footer_tags"]
+def _err_req(msg: Column) -> Column:
+    return _req(kind=F.lit("error"), message=msg)
 
 
-def _split_pin(col: Column) -> tuple[Column, Column]:
-    """split_pin_tag (common_utils.py:41-61): (tag, ':pin' | null)."""
-    pos = F.instr(col, ":")
-    tag = F.when(pos > 0, F.substring(col, 1, pos - 1)).otherwise(col)
-    pin = F.when(pos > 0, F.substr(col, pos)).otherwise(F.lit(None))
-    return tag, pin
+def _one(req: Column) -> Column:
+    return F.array(req)
+
+
+def _concat_str(*parts) -> Column:
+    return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
 
 
 class Assembler:
@@ -152,447 +185,454 @@ class Assembler:
 
     def __init__(self, config: AspectsConfig = DEFAULT_ASPECTS):
         self.config = config
-        self.complete_tag = make_complete_tag_udf(config)
         self.tag_parts = make_tag_parts_udf(config)
         self.single_aspect = make_single_aspect_udf(config)
 
-    # -- per-type handler subplans ------------------------------------
-    # Each returns a dict with optional keys:
-    #   xreq(url,page_no,footer_tags,raw_tag,target_type,attrs)
-    #   conn(url,page_no,footer_tags,through_tag,src_tag,dst_tag,
-    #        through_attrs,loc_attrs)              -- create_connection
-    #   cwl (conn cols + src_pin_tag,dst_pin_tag,link_attrs)
-    #                                     -- create_connection_with_link
-    #   aspect_req(url,page_no,raw_tag,attrs)
-    #   attr_pool(attrs)     errors(url,page_no,severity,message)
+    # -- per-type request builders (each returns array<request>) -------
 
-    def _h_connection_list(self, df: DataFrame) -> dict:
-        df = df.withColumn("tag_from", _get("src_pin_tag")).withColumn(
-            "tag_to", _get("dst_pin_tag")
+    def _connection_list(self, cols: Column, attrs: Column, loc: Column) -> Column:
+        tag_from, tag_to = _g(cols, "src_pin_tag"), _g(cols, "dst_pin_tag")
+        bad = (tag_from == "") | (tag_to == "")
+        ok = _one(
+            _req(
+                kind=F.lit("cwl"),
+                src_pin_tag=tag_from,
+                src_pin_tag_c=_g(cols, "_c:src_pin_tag"),
+                dst_pin_tag=tag_to,
+                dst_pin_tag_c=_g(cols, "_c:dst_pin_tag"),
+                link_attrs=attrs,
+                attrs=attrs,
+                loc_attrs=loc,
+            )
         )
-        bad = (F.col("tag_from") == "") | (F.col("tag_to") == "")
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: one/both of the connection targets are empty (is that intended?): `"),
-                    F.col("tag_from"), F.lit("` `"), F.col("tag_to"), F.lit("`"),
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: one/both of the connection targets are empty "
+                    "(is that intended?): `", tag_from, "` `", tag_to, "`",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs",
-            F.concat(_simple_attrs(["src_pin_tag", "dst_pin_tag", "name"]), _loc_attrs()),
-        ).withColumn("loc_attrs", _loc_attrs())
-        cwl = ok.select(
-            *_BASE,
-            F.lit(None).cast("string").alias("through_tag"),
-            F.lit(None).cast("string").alias("through_tag_c"),
-            F.col("tag_from").alias("src_pin_tag"),
-            _get("_c:src_pin_tag").alias("src_pin_tag_c"),
-            F.col("tag_to").alias("dst_pin_tag"),
-            _get("_c:dst_pin_tag").alias("dst_pin_tag_c"),
-            F.col("attrs").alias("link_attrs"),
-            "loc_attrs",
-        )
-        return {"cwl": cwl, "attr_pool": ok.select(F.col("attrs")), "errors": errors}
+        return F.when(bad, err).otherwise(ok)
 
-    def _h_device_tag_list(self, df: DataFrame) -> dict:
-        df = df.withColumn("tag", _get("tag"))
-        bad = F.col("tag") == ""
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty device tag (is that intended?): `"),
-                    F.col("tag"), F.lit("`"),
+    def _device_tag_list(self, cols: Column, attrs: Column) -> Column:
+        tag = _g(cols, "tag")
+        ok = _one(
+            _req(
+                kind=F.lit("xreq"),
+                raw_tag=tag,
+                raw_tag_c=_g(cols, "_c:tag"),
+                target_type=F.lit("device"),
+                attrs=attrs,
+            )
+        )
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty device tag (is that intended?): `", tag, "`",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs", F.concat(_simple_attrs(["tag"]), _loc_attrs())
-        )
-        xreq = ok.select(
-            *_BASE,
-            F.col("tag").alias("raw_tag"),
-            _get("_c:tag").alias("raw_tag_c"),
-            F.lit("device").alias("target_type"),
-            "attrs",
-        )
-        return {"xreq": xreq, "attr_pool": ok.select("attrs"), "errors": errors}
+        return F.when(tag == "", err).otherwise(ok)
 
-    def _h_cable_overview(self, df: DataFrame) -> dict:
-        df = (
-            df.withColumn("tag", _get("cable_tag"))
-            .withColumn("tag_from", _get("src_tag"))
-            .withColumn("tag_to", _get("dst_tag"))
+    def _cable_overview(self, cols: Column, attrs: Column, loc: Column) -> Column:
+        tag = _g(cols, "cable_tag")
+        tag_from, tag_to = _g(cols, "src_tag"), _g(cols, "dst_tag")
+        bad = (tag == "") | ((tag_from == "") & (tag_to == ""))
+        conn = _req(
+            kind=F.lit("conn"),
+            through_tag=tag,
+            through_tag_c=_g(cols, "_c:cable_tag"),
+            src_tag=tag_from,
+            src_tag_c=_g(cols, "_c:src_tag"),
+            dst_tag=tag_to,
+            dst_tag_c=_g(cols, "_c:dst_tag"),
+            through_attrs=attrs,
+            attrs=attrs,
+            loc_attrs=loc,
         )
-        bad = (F.col("tag") == "") | (
-            (F.col("tag_from") == "") & (F.col("tag_to") == "")
-        )
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty cable tag (is that intended?): `"),
-                    F.col("tag"), F.lit("` from=`"), F.col("tag_from"),
-                    F.lit("` to=`"), F.col("tag_to"), F.lit("`"),
+        # one-sided rows register attributes but create nothing
+        # (page_processor.py:193-213): emit a pool-only request
+        pool = _req(kind=F.lit("pool"), attrs=attrs)
+        ok = F.when((tag_from != "") & (tag_to != ""), _one(conn)).otherwise(_one(pool))
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty cable tag (is that intended?): `", tag,
+                    "` from=`", tag_from, "` to=`", tag_to, "`",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs",
-            F.concat(_simple_attrs(["cable_tag", "src_tag", "dst_tag"]), _loc_attrs()),
-        ).withColumn("loc_attrs", _loc_attrs())
-        conn = ok.where((F.col("tag_from") != "") & (F.col("tag_to") != "")).select(
-            *_BASE,
-            F.col("tag").alias("through_tag"),
-            _get("_c:cable_tag").alias("through_tag_c"),
-            F.col("tag_from").alias("src_tag"),
-            _get("_c:src_tag").alias("src_tag_c"),
-            F.col("tag_to").alias("dst_tag"),
-            _get("_c:dst_tag").alias("dst_tag_c"),
-            F.col("attrs").alias("through_attrs"),
-            "loc_attrs",
-        )
-        return {"conn": conn, "attr_pool": ok.select("attrs"), "errors": errors}
+        return F.when(bad, err).otherwise(ok)
 
-    def _h_topology(self, df: DataFrame) -> dict:
-        df = (
-            df.withColumn("tag", _get("designation"))
-            .withColumn("tags_src", _get("src_tags"))
-            .withColumn("tags_dst", _get("dst_tags"))
-            .withColumn("tags_route", _get("route"))
+    def _topology(self, cols: Column, attrs: Column, loc: Column) -> Column:
+        tag = _g(cols, "designation")
+        tags_src, tags_dst = _g(cols, "src_tags"), _g(cols, "dst_tags")
+        tags_route = _g(cols, "route")
+        bad = (tag == "") | (tags_src == "") | (tags_dst == "") | (tags_route == "")
+        # J6: cartesian of ';'-split src x dst (page_processor.py:299-304)
+        # as nested transforms over pre-zipped arrays (each split is
+        # evaluated once as a transform input, not per element)
+        src_zip = F.arrays_zip(
+            F.split(tags_src, ";").alias("r"),
+            F.split(_g(cols, "_c:src_tags"), ";").alias("c"),
         )
-        bad = (
-            (F.col("tag") == "")
-            | (F.col("tags_src") == "")
-            | (F.col("tags_dst") == "")
-            | (F.col("tags_route") == "")
+        dst_zip = F.arrays_zip(
+            F.split(tags_dst, ";").alias("r"),
+            F.split(_g(cols, "_c:dst_tags"), ";").alias("c"),
         )
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty topology tag (is that intended?): `"),
-                    F.col("tag"), F.lit("` from=`"), F.col("tags_src"),
-                    F.lit("` to=`"), F.col("tags_dst"),
-                    F.lit("` route=`"), F.col("tags_route"), F.lit("`"),
+        pairs = F.flatten(
+            F.transform(
+                src_zip,
+                lambda s: F.transform(
+                    dst_zip,
+                    lambda d: _req(
+                        kind=F.lit("conn"),
+                        through_tag=tag,
+                        through_tag_c=_g(cols, "_c:designation"),
+                        src_tag=s["r"],
+                        src_tag_c=s["c"],
+                        dst_tag=d["r"],
+                        dst_tag_c=d["c"],
+                        through_attrs=attrs,
+                        loc_attrs=loc,
+                    ),
+                ),
+            )
+        )
+        ok = F.concat(pairs, _one(_req(kind=F.lit("pool"), attrs=attrs)))
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty topology tag (is that intended?): `", tag,
+                    "` from=`", tags_src, "` to=`", tags_dst,
+                    "` route=`", tags_route, "`",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs",
-            F.concat(
-                _simple_attrs(["designation", "src_tags", "dst_tags", "route"]),
-                _loc_attrs(),
-                F.array(_routing_attr(F.col("tags_route"))),
-            ),
-        ).withColumn("loc_attrs", _loc_attrs())
-        # J6: cartesian of ';'-split src x dst (page_processor.py:299-304),
-        # raw pieces zipped with their kernel-completed variants
-        ok = (
-            ok.withColumn("rs", F.split("tags_src", ";"))
-            .withColumn("cs", F.split(_get("_c:src_tags"), ";"))
-            .withColumn("rd", F.split("tags_dst", ";"))
-            .withColumn("cd", F.split(_get("_c:dst_tags"), ";"))
-        )
-        conn = (
-            ok.withColumn("t1", F.explode(F.arrays_zip(F.col("rs"), F.col("cs"))))
-            .withColumn("t2", F.explode(F.arrays_zip(F.col("rd"), F.col("cd"))))
-            .select(
-                *_BASE,
-                F.col("tag").alias("through_tag"),
-                _get("_c:designation").alias("through_tag_c"),
-                F.col("t1.rs").alias("src_tag"),
-                F.col("t1.cs").alias("src_tag_c"),
-                F.col("t2.rd").alias("dst_tag"),
-                F.col("t2.cd").alias("dst_tag_c"),
-                F.col("attrs").alias("through_attrs"),
-                "loc_attrs",
+        return F.when(bad, err).otherwise(ok)
+
+    def _wires(self, cols: Column, attrs: Column, loc: Column) -> Column:
+        tag_src, tag_dst = _g(cols, "src_pin_tag"), _g(cols, "dst_pin_tag")
+        bad = (tag_src == "") | (tag_dst == "")
+        ok = _one(
+            _req(
+                kind=F.lit("cwl"),
+                src_pin_tag=tag_src,
+                src_pin_tag_c=_g(cols, "_c:src_pin_tag"),
+                dst_pin_tag=tag_dst,
+                dst_pin_tag_c=_g(cols, "_c:dst_pin_tag"),
+                link_attrs=attrs,
+                attrs=attrs,
+                loc_attrs=loc,
             )
         )
-        return {"conn": conn, "attr_pool": ok.select("attrs"), "errors": errors}
-
-    def _h_wires(self, df: DataFrame) -> dict:
-        df = (
-            df.withColumn("tag_src", _get("src_pin_tag"))
-            .withColumn("tag_dst", _get("dst_pin_tag"))
-            .withColumn("tags_route", _get("route"))
-        )
-        bad = (F.col("tag_src") == "") | (F.col("tag_dst") == "")
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty wire connection info (is that intended?): from=`"),
-                    F.col("tag_src"), F.lit("` to=`"), F.col("tag_dst"), F.lit("`"),
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty wire connection info (is that intended?): from=`",
+                    tag_src, "` to=`", tag_dst, "`",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs",
-            F.concat(
-                _simple_attrs(["src_pin_tag", "dst_pin_tag", "route"]),
-                _loc_attrs(),
-                F.when(
-                    F.col("tags_route") != "",
-                    F.array(_routing_attr(F.col("tags_route"))),
-                ).otherwise(F.expr(f"cast(array() as {ATTR_TYPE})")),
-            ),
-        ).withColumn("loc_attrs", _loc_attrs())
-        cwl = ok.select(
-            *_BASE,
-            F.lit(None).cast("string").alias("through_tag"),
-            F.lit(None).cast("string").alias("through_tag_c"),
-            F.col("tag_src").alias("src_pin_tag"),
-            _get("_c:src_pin_tag").alias("src_pin_tag_c"),
-            F.col("tag_dst").alias("dst_pin_tag"),
-            _get("_c:dst_pin_tag").alias("dst_pin_tag_c"),
-            F.col("attrs").alias("link_attrs"),
-            "loc_attrs",
-        )
-        return {"cwl": cwl, "attr_pool": ok.select("attrs"), "errors": errors}
+        return F.when(bad, err).otherwise(ok)
 
-    def _h_cable_diagram(self, df: DataFrame) -> dict:
-        df = (
-            df.withColumn("tag", _get("cable_tag"))
-            .withColumn("tag_src", _get("src_tag"))
-            .withColumn("tag_dst", _get("dst_tag"))
-            .withColumn("pin_src", _get("src_pin"))
-            .withColumn("pin_dst", _get("dst_pin"))
-        )
-        bad = (
-            (F.col("tag_src") == "")
-            & (F.col("tag_dst") == "")
-            & (F.col("pin_src") == "")
-            & (F.col("pin_dst") == "")
-        )
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty cable diagram info (is that intended?): `"),
-                    F.col("tag"), F.lit("` from=`"), F.col("tag_src"), F.lit("``"),
-                    F.col("pin_src"), F.lit("` to=`"), F.col("tag_dst"), F.lit("``"),
-                    F.col("pin_dst"), F.lit("` "),
-                )
-            )
-        )
-        ok = df.where(~bad).withColumn(
-            "attrs",
-            F.concat(
-                _simple_attrs(["cable_tag", "src_tag", "src_pin", "dst_tag", "dst_pin"]),
-                _loc_attrs(),
-            ),
-        ).withColumn("loc_attrs", _loc_attrs())
+    def _cable_diagram(self, cols: Column, attrs: Column, loc: Column) -> Column:
+        """Also reused for each terminal-diagram side (T9)."""
+        tag = _g(cols, "cable_tag")
+        tag_src, tag_dst = _g(cols, "src_tag"), _g(cols, "dst_tag")
+        pin_src, pin_dst = _g(cols, "src_pin"), _g(cols, "dst_pin")
+        bad = (tag_src == "") & (tag_dst == "") & (pin_src == "") & (pin_dst == "")
+        ts, cts = F.split(tag_src, ";"), F.split(_g(cols, "_c:src_tag"), ";")
+        ps = F.split(pin_src, ";")
+        cs, ccs = F.split(tag, ";"), F.split(_g(cols, "_c:cable_tag"), ";")
+        td, ctd = F.split(tag_dst, ";"), F.split(_g(cols, "_c:dst_tag"), ";")
+        pd = F.split(pin_dst, ";")
         # zip of src triples x dst pairs (page_processor.py:408-422);
-        # Python zip truncates to the shortest list — slice+least
-        # reproduces that (arrays_zip pads with null instead)
-        ok = (
-            ok.withColumn("ts", F.split("tag_src", ";"))
-            .withColumn("cts", F.split(_get("_c:src_tag"), ";"))
-            .withColumn("ps", F.split("pin_src", ";"))
-            .withColumn("cs", F.split("tag", ";"))
-            .withColumn("ccs", F.split(_get("_c:cable_tag"), ";"))
-            .withColumn("td", F.split("tag_dst", ";"))
-            .withColumn("ctd", F.split(_get("_c:dst_tag"), ";"))
-            .withColumn("pd", F.split("pin_dst", ";"))
-        )
+        # Python zip truncates to the shortest list -> slice+least
         src_zip = F.slice(
-            F.arrays_zip(F.col("ts"), F.col("cts"), F.col("ps"), F.col("cs"), F.col("ccs")),
-            1,
-            F.least(F.size("ts"), F.size("ps"), F.size("cs")),
+            F.arrays_zip(ts.alias("t"), cts.alias("ct"), ps.alias("p"),
+                         cs.alias("c"), ccs.alias("cc")),
+            1, F.least(F.size(ts), F.size(ps), F.size(cs)),
         )
         dst_zip = F.slice(
-            F.arrays_zip(F.col("td"), F.col("ctd"), F.col("pd")),
-            1,
-            F.least(F.size("td"), F.size("pd")),
+            F.arrays_zip(td.alias("t"), ctd.alias("ct"), pd.alias("p")),
+            1, F.least(F.size(td), F.size(pd)),
         )
-        exploded = ok.withColumn("sp", F.explode(src_zip)).withColumn(
-            "dp", F.explode(dst_zip)
+        pairs = F.flatten(
+            F.transform(
+                src_zip,
+                lambda sp: F.transform(
+                    dst_zip,
+                    lambda dp: _req(
+                        kind=F.lit("cwl"),
+                        through_tag=F.when(sp["c"] != "", sp["c"]),
+                        through_tag_c=sp["cc"],
+                        src_pin_tag=F.concat(sp["t"], F.lit(":"), sp["p"]),
+                        src_pin_tag_c=F.concat(sp["ct"], F.lit(":"), sp["p"]),
+                        dst_pin_tag=F.concat(dp["t"], F.lit(":"), dp["p"]),
+                        dst_pin_tag_c=F.concat(dp["ct"], F.lit(":"), dp["p"]),
+                        link_attrs=attrs,
+                        loc_attrs=loc,
+                    ),
+                ),
+            )
         )
-        cwl = exploded.select(
-            *_BASE,
-            F.when(F.col("sp.cs") != "", F.col("sp.cs")).otherwise(None).alias(
-                "through_tag"
-            ),
-            F.col("sp.ccs").alias("through_tag_c"),
-            F.concat(F.col("sp.ts"), F.lit(":"), F.col("sp.ps")).alias("src_pin_tag"),
-            F.concat(F.col("sp.cts"), F.lit(":"), F.col("sp.ps")).alias("src_pin_tag_c"),
-            F.concat(F.col("dp.td"), F.lit(":"), F.col("dp.pd")).alias("dst_pin_tag"),
-            F.concat(F.col("dp.ctd"), F.lit(":"), F.col("dp.pd")).alias("dst_pin_tag_c"),
-            F.col("attrs").alias("link_attrs"),
-            "loc_attrs",
-        )
-        return {"cwl": cwl, "attr_pool": ok.select("attrs"), "errors": errors}
-
-    def _h_structure(self, df: DataFrame) -> dict:
-        ok = df.withColumn("tag", _get("tag")).withColumn(
-            "attrs", F.concat(_simple_attrs(["tag"]), _loc_attrs())
-        )
-        aspect_req = ok.select(
-            "url", "page_no", F.col("tag").alias("raw_tag"), "attrs"
-        )
-        return {"aspect_req": aspect_req, "attr_pool": ok.select("attrs")}
-
-    def _h_plc(self, df: DataFrame) -> dict:
-        df = df.withColumn("tag", _get("tag")).withColumn("plc_addr", _get("plc_addr"))
-        bad = (F.col("tag") == "") | (F.col("plc_addr") == "")
-        errors = df.where(bad).select(
-            *_err(
-                F.concat(
-                    F.lit("row #"), F.col("row_idx"),
-                    F.lit(" skipped: empty PLC diagram info (is that intended?): `"),
-                    F.col("tag"), F.lit("` addr=`"), F.col("plc_addr"), F.lit("`"),
+        ok = F.concat(pairs, _one(_req(kind=F.lit("pool"), attrs=attrs)))
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty cable diagram info (is that intended?): `", tag,
+                    "` from=`", tag_src, "``", pin_src,
+                    "` to=`", tag_dst, "``", pin_dst, "` ",
                 )
             )
         )
-        ok = df.where(~bad).withColumn(
-            "attrs", F.concat(F.array(_plc_attr()), _loc_attrs())
-        )
-        xreq = ok.select(
-            *_BASE,
-            F.col("tag").alias("raw_tag"),
-            _get("_c:tag").alias("raw_tag_c"),
-            F.lit("device").alias("target_type"),
-            "attrs",
-        )
-        return {"xreq": xreq, "attr_pool": ok.select("attrs"), "errors": errors}
+        return F.when(bad, err).otherwise(ok)
 
-    def _terminal_sides(self, df: DataFrame) -> DataFrame:
-        """T9: split _1/_2-prefixed columns into two logical
-        cable-diagram rows (page_processor.py:503-521)."""
+    def _structure(self, cols: Column, attrs: Column) -> Column:
+        return _one(
+            _req(kind=F.lit("aspect"), raw_tag=_g(cols, "tag"), attrs=attrs)
+        )
+
+    def _plc(self, cols: Column, attrs: Column) -> Column:
+        tag, plc_addr = _g(cols, "tag"), _g(cols, "plc_addr")
+        bad = (tag == "") | (plc_addr == "")
+        ok = _one(
+            _req(
+                kind=F.lit("xreq"),
+                raw_tag=tag,
+                raw_tag_c=_g(cols, "_c:tag"),
+                target_type=F.lit("device"),
+                attrs=attrs,
+            )
+        )
+        err = _one(
+            _err_req(
+                _concat_str(
+                    "row #", F.col("row_idx"),
+                    " skipped: empty PLC diagram info (is that intended?): `",
+                    tag, "` addr=`", plc_addr, "`",
+                )
+            )
+        )
+        return F.when(bad, err).otherwise(ok)
+
+    @staticmethod
+    def _terminal_side(prefix: str) -> Column:
+        """_1/_2-prefixed columns merged over the base columns
+        (page_processor.py:503-521)."""
         base = F.map_filter(
             F.col("cols"), lambda k, v: ~(k.startswith("_1") | k.startswith("_2"))
         )
-        def _side(prefix: str):
-            def keep(k, v):
-                return k.startswith(prefix)
 
-            def strip(k, v):
-                return F.substring(k, 3, 100000)
+        def keep(k, v):
+            return k.startswith(prefix)
 
-            side = F.transform_keys(F.map_filter(F.col("cols"), keep), strip)
-            return df.withColumn("cols", F.map_concat(base, side))
+        def strip(k, v):
+            return F.substring(k, 3, 100000)
 
-        return _side("_1").unionByName(_side("_2"))
+        side = F.transform_keys(F.map_filter(F.col("cols"), keep), strip)
+        return F.map_concat(base, side)
 
-    # -- shared finishers ----------------------------------------------
+    _SIMPLE_EXCLUDE = {
+        "connection_list": ["src_pin_tag", "dst_pin_tag", "name"],
+        "device_tag_list": ["tag"],
+        "cable_overview": ["cable_tag", "src_tag", "dst_tag"],
+        "topology": ["designation", "src_tags", "dst_tags", "route"],
+        "wires_part_list": ["src_pin_tag", "dst_pin_tag", "route"],
+        "cable_diagram": ["cable_tag", "src_tag", "src_pin", "dst_tag", "dst_pin"],
+        "structure_identifier_overview": ["tag"],
+    }
+
+    def _precompute(self, rows: DataFrame) -> DataFrame:
+        """Shared per-row columns computed once: the attribute arrays are
+        the most expensive subtrees (md5 + to_json per entry) and would
+        otherwise be re-evaluated per emitted request element."""
+        c = F.col("page_type")
+        cols = F.col("cols")
+        loc = _loc_attrs()
+
+        def base_attrs(ptype: str) -> Column:
+            return F.concat(_simple_attrs(cols, self._SIMPLE_EXCLUDE[ptype]), loc)
+
+        attrs = (
+            F.when(c == "connection_list", base_attrs("connection_list"))
+            .when(c == "device_tag_list", base_attrs("device_tag_list"))
+            .when(c == "cable_overview", base_attrs("cable_overview"))
+            .when(
+                c == "topology",
+                F.concat(base_attrs("topology"), F.array(_routing_attr(_g(cols, "route")))),
+            )
+            .when(
+                c == "wires_part_list",
+                F.concat(
+                    base_attrs("wires_part_list"),
+                    F.when(
+                        _g(cols, "route") != "",
+                        F.array(_routing_attr(_g(cols, "route"))),
+                    ).otherwise(F.expr(EMPTY_ATTRS)),
+                ),
+            )
+            .when(c == "cable_diagram", base_attrs("cable_diagram"))
+            .when(
+                c == "structure_identifier_overview",
+                base_attrs("structure_identifier_overview"),
+            )
+            .when(c == "plc_diagram", F.concat(F.array(_plc_attr(cols)), loc))
+        )
+        cable_excl = self._SIMPLE_EXCLUDE["cable_diagram"]
+        terminal = c == "terminal_diagram"
+        side1 = F.when(terminal, self._terminal_side("_1"))
+        side2 = F.when(terminal, self._terminal_side("_2"))
+        return (
+            rows.withColumn("_loc_a", loc)
+            .withColumn("_cols1", side1)
+            .withColumn("_cols2", side2)
+            .withColumn("_attrs", attrs)
+            .withColumn(
+                "_attrs1",
+                F.when(
+                    terminal,
+                    F.concat(_simple_attrs(F.col("_cols1"), cable_excl), F.col("_loc_a")),
+                ),
+            )
+            .withColumn(
+                "_attrs2",
+                F.when(
+                    terminal,
+                    F.concat(_simple_attrs(F.col("_cols2"), cable_excl), F.col("_loc_a")),
+                ),
+            )
+        )
+
+    def _requests_expr(self) -> Column:
+        cols = F.col("cols")
+        c = F.col("page_type")
+        attrs, loc = F.col("_attrs"), F.col("_loc_a")
+        expr = (
+            F.when(c == "connection_list", self._connection_list(cols, attrs, loc))
+            .when(c == "device_tag_list", self._device_tag_list(cols, attrs))
+            .when(c == "cable_overview", self._cable_overview(cols, attrs, loc))
+            .when(c == "topology", self._topology(cols, attrs, loc))
+            .when(c == "wires_part_list", self._wires(cols, attrs, loc))
+            .when(c == "cable_diagram", self._cable_diagram(cols, attrs, loc))
+            .when(
+                c == "terminal_diagram",
+                F.concat(
+                    self._cable_diagram(F.col("_cols1"), F.col("_attrs1"), loc),
+                    self._cable_diagram(F.col("_cols2"), F.col("_attrs2"), loc),
+                ),
+            )
+            .when(c == "structure_identifier_overview", self._structure(cols, attrs))
+            .when(c == "plc_diagram", self._plc(cols, attrs))
+            .otherwise(F.lit(None).cast(f"array<{REQ_TYPE}>"))
+        )
+        return expr
+
+    # -- the single pass + finishers ------------------------------------
 
     def assemble(self, rows: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
-        """persist=True caches the fan-out points (rows feeds 8 handler
-        branches; conn_all/xall/linked feed several entity outputs) —
-        without it every output table re-executes the upstream
-        extraction kernel per branch. At warehouse scale the same role
-        is played by materializing stage tables (pipeline.run_assembly
-        reads rows back from storage)."""
+        """persist=True caches the two fan-out points (the exploded
+        requests feed 6 finisher families; conn_all feeds 5 outputs) —
+        at warehouse scale the same role is played by materializing
+        stage tables."""
         rows = rows.select(
             "url", "page_no", "page_type", "footer_tags", "row_idx", "cols", "loc_repr"
         )
+        rows = self._precompute(rows)
+        reqs = (
+            rows.withColumn("reqs", self._requests_expr())
+            .where(F.col("reqs").isNotNull())
+            .select(
+                "url", "page_no", "footer_tags", F.explode("reqs").alias("r")
+            )
+            .select("url", "page_no", "footer_tags", "r.*")
+        )
         if persist:
-            rows = rows.persist()
+            # localCheckpoint (not just persist): the request-building
+            # CASE expression is huge, and every downstream action would
+            # re-run Catalyst analysis over it; truncating the lineage
+            # here makes all 9 output plans small. At warehouse scale
+            # the equivalent is writing the requests stage table.
+            reqs = reqs.localCheckpoint(eager=True)
 
-        branches = {
-            "connection_list": self._h_connection_list,
-            "device_tag_list": self._h_device_tag_list,
-            "cable_overview": self._h_cable_overview,
-            "topology": self._h_topology,
-            "wires_part_list": self._h_wires,
-            "cable_diagram": self._h_cable_diagram,
-            "structure_identifier_overview": self._h_structure,
-            "plc_diagram": self._h_plc,
-        }
-
-        outs: dict[str, list[DataFrame]] = {
-            "xreq": [], "conn": [], "cwl": [], "aspect_req": [],
-            "attr_pool": [], "errors": [],
-        }
-        for ptype, handler in branches.items():
-            branch = rows.where(F.col("page_type") == ptype)
-            if ptype == "cable_diagram":
-                terminal = self._terminal_sides(
-                    rows.where(F.col("page_type") == "terminal_diagram")
-                )
-                branch = branch.unionByName(terminal)
-            for k, v in handler(branch).items():
-                outs[k].append(v)
-
-        def _union(dfs: list[DataFrame]) -> DataFrame | None:
-            if not dfs:
-                return None
-            out = dfs[0]
-            for d in dfs[1:]:
-                out = out.unionByName(d)
-            return out
-
-        xreq = _union(outs["xreq"])
-        conn = _union(outs["conn"])
-        cwl = _union(outs["cwl"])
-        aspect_req = _union(outs["aspect_req"])
-        attr_pool = _union(outs["attr_pool"])
-        handler_errors = _union(outs["errors"])
+        handler_errors = reqs.where(F.col("kind") == "error").select(
+            "url", "page_no", F.lit("WARNING").alias("severity"),
+            F.col("message").alias("message"),
+        )
+        attr_pool = reqs.select("attrs", "link_attrs", "through_attrs", "loc_attrs")
+        xreq = reqs.where(F.col("kind") == "xreq")
+        aspect_req = reqs.where(F.col("kind") == "aspect")
 
         # ---- create_connection_with_link guards (god.py:507-533) ----
-        src_tag, src_pin = _split_pin(F.col("src_pin_tag"))
-        dst_tag, dst_pin = _split_pin(F.col("dst_pin_tag"))
-        src_tag_c, _ = _split_pin(F.col("src_pin_tag_c"))
-        dst_tag_c, _ = _split_pin(F.col("dst_pin_tag_c"))
+        def split_pin(col: Column):
+            pos = F.instr(col, ":")
+            tag = F.when(pos > 0, F.substring(col, 1, pos - 1)).otherwise(col)
+            pin = F.when(pos > 0, F.substr(col, pos)).otherwise(F.lit(None))
+            return tag, pin
+
+        cwl = reqs.where(F.col("kind") == "cwl")
+        s_tag, s_pin = split_pin(F.col("src_pin_tag"))
+        d_tag, d_pin = split_pin(F.col("dst_pin_tag"))
+        sc_tag, _ = split_pin(F.col("src_pin_tag_c"))
+        dc_tag, _ = split_pin(F.col("dst_pin_tag_c"))
         cwl = (
-            cwl.withColumn("src_tag", src_tag)
-            .withColumn("src_pin", src_pin)
-            .withColumn("dst_tag", dst_tag)
-            .withColumn("dst_pin", dst_pin)
-            .withColumn("src_tag_c", src_tag_c)
-            .withColumn("dst_tag_c", dst_tag_c)
+            cwl.withColumn("src_tag", s_tag)
+            .withColumn("src_pin", s_pin)
+            .withColumn("dst_tag", d_tag)
+            .withColumn("dst_pin", d_pin)
+            .withColumn("src_tag_c", sc_tag)
+            .withColumn("dst_tag_c", dc_tag)
         )
         no_pins = (
             F.col("src_pin").isNull() | (F.col("src_pin") == "")
             | F.col("dst_pin").isNull() | (F.col("dst_pin") == "")
         )
         pin_errors = cwl.where(no_pins).select(
-            *_err(
-                F.concat(
-                    F.lit("Linked connection where one/no pins specified: `"),
-                    F.coalesce(F.col("src_pin"), F.lit("None")),
-                    F.lit("` `"),
-                    F.coalesce(F.col("dst_pin"), F.lit("None")),
-                    F.lit("`"),
-                )
-            )
+            "url", "page_no", F.lit("WARNING").alias("severity"),
+            _concat_str(
+                "Linked connection where one/no pins specified: `",
+                F.coalesce(F.col("src_pin"), F.lit("None")), "` `",
+                F.coalesce(F.col("dst_pin"), F.lit("None")), "`",
+            ).alias("message"),
         )
         cwl = cwl.where(~no_pins)
         no_tags = (F.col("src_tag") == "") | (F.col("dst_tag") == "")
         tag_errors = cwl.where(no_tags).select(
-            *_err(
-                F.concat(
-                    F.lit("Linked connection where one/no targets specified: `"),
-                    F.col("src_tag"), F.lit("` `"), F.col("dst_tag"), F.lit("`"),
-                )
-            )
+            "url", "page_no", F.lit("WARNING").alias("severity"),
+            _concat_str(
+                "Linked connection where one/no targets specified: `",
+                F.col("src_tag"), "` `", F.col("dst_tag"), "`",
+            ).alias("message"),
         )
         cwl = cwl.where(~no_tags)
 
         # ---- connections (both paths) --------------------------------
+        base_cols = ["url", "page_no", "footer_tags"]
         cwl_conn = cwl.select(
-            *_BASE, "through_tag", "through_tag_c",
+            *base_cols, "through_tag", "through_tag_c",
             "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
             F.col("loc_attrs").alias("through_attrs"), "loc_attrs",
             "src_pin", "dst_pin", "link_attrs",
             F.lit(True).alias("with_link"),
         )
-        conn_all = cwl_conn
-        if conn is not None:
-            conn_only = conn.select(
-                *_BASE, "through_tag", "through_tag_c",
-                "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
-                "through_attrs", "loc_attrs",
-                F.lit(None).cast("string").alias("src_pin"),
-                F.lit(None).cast("string").alias("dst_pin"),
-                F.expr(f"cast(array() as {ATTR_TYPE})").alias("link_attrs"),
-                F.lit(False).alias("with_link"),
-            )
-            conn_all = conn_all.unionByName(conn_only)
+        conn_only = reqs.where(F.col("kind") == "conn").select(
+            *base_cols, "through_tag", "through_tag_c",
+            "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
+            "through_attrs", "loc_attrs",
+            F.lit(None).cast("string").alias("src_pin"),
+            F.lit(None).cast("string").alias("dst_pin"),
+            F.expr(EMPTY_ATTRS).alias("link_attrs"),
+            F.lit(False).alias("with_link"),
+        )
+        conn_all = cwl_conn.unionByName(conn_only)
 
         # normalize empty through -> null ('' is falsy in god.py:484-489)
         conn_all = conn_all.withColumn(
@@ -600,9 +640,9 @@ class Assembler:
             F.when(F.col("through_tag") == "", None).otherwise(F.col("through_tag")),
         )
 
-        # completed tags were computed in the extraction kernel ('_c:'
-        # columns) — no per-row Python here. Pin-tag prohibition:
-        # create_xtarget returns None for raw tags with ':' (god.py:351-354)
+        # completed tags come from the extraction kernel ('_c:' columns).
+        # Pin-tag prohibition: create_xtarget returns None for raw tags
+        # containing ':' (god.py:351-354)
         def completed(raw_col: str, c_col: str):
             return F.when(
                 F.col(raw_col).isNull() | F.col(raw_col).contains(":"), None
@@ -624,7 +664,9 @@ class Assembler:
         )
         if persist:
             # feeds connections, links, pins, xtargets (3 roles), lineage
+            # (plan is small once reqs is checkpointed -> lazy cache)
             conn_all = conn_all.persist()
+
         connections = conn_all.select(
             F.col("conn_guid").alias("guid"), "src_guid", "dst_guid", "through_guid"
         ).dropDuplicates(["guid"])
@@ -639,8 +681,7 @@ class Assembler:
                 F.col("link_name"), F.col("src_pin"), F.col("dst_pin"), F.col("conn_guid")
             ),
         )
-        if persist:
-            linked = linked.persist()  # feeds links, pins, attachments, lineage
+
         links = linked.select(
             F.col("link_guid").alias("guid"),
             F.col("link_name").alias("name"),
@@ -663,13 +704,11 @@ class Assembler:
         )
 
         # ---- xtargets -------------------------------------------------
-        x_parts = []
-        if xreq is not None:
-            x_parts.append(
-                xreq.withColumn("completed", completed("raw_tag", "raw_tag_c"))
-                .where(F.col("completed").isNotNull())
-                .select(*_BASE, "completed", "target_type", "attrs")
-            )
+        x_parts = [
+            xreq.withColumn("completed", completed("raw_tag", "raw_tag_c"))
+            .where(F.col("completed").isNotNull())
+            .select(*base_cols, "completed", "target_type", "attrs")
+        ]
         for role, ttype, attr_col in (
             ("through", "cable", "through_attrs"),
             ("src", "device", "loc_attrs"),
@@ -677,7 +716,7 @@ class Assembler:
         ):
             x_parts.append(
                 conn_all.where(F.col(f"{role}_completed").isNotNull()).select(
-                    *_BASE,
+                    *base_cols,
                     F.col(f"{role}_completed").alias("completed"),
                     F.lit(ttype).alias("target_type"),
                     F.col(attr_col).alias("attrs"),
@@ -728,41 +767,34 @@ class Assembler:
                 ).alias("value"),
             )
         )
-        aspect_parts = [tag_aspects]
-        aspect_attach = None
-        aspect_errors = None
-        if aspect_req is not None:
-            parsed = aspect_req.withColumn("p", self.single_aspect(F.col("raw_tag")))
-            aspect_errors = parsed.where(F.col("p.status") != 0).select(
-                *_err(
-                    F.when(
-                        F.col("p.status") == 1,
-                        F.concat(
-                            F.lit("Failed to create aspect with tag: '"),
-                            F.col("raw_tag"), F.lit("'"),
-                        ),
-                    ).otherwise(
-                        F.concat(
-                            F.lit("Failed to create aspect with tag: '"),
-                            F.col("raw_tag"), F.lit("' - has composite structure"),
-                        )
-                    )
+        parsed = aspect_req.withColumn("p", self.single_aspect(F.col("raw_tag")))
+        aspect_errors = parsed.where(F.col("p.status") != 0).select(
+            "url", "page_no", F.lit("WARNING").alias("severity"),
+            F.when(
+                F.col("p.status") == 1,
+                _concat_str(
+                    "Failed to create aspect with tag: '", F.col("raw_tag"), "'"
+                ),
+            )
+            .otherwise(
+                _concat_str(
+                    "Failed to create aspect with tag: '", F.col("raw_tag"),
+                    "' - has composite structure",
                 )
             )
-            ok_aspects = parsed.where(F.col("p.status") == 0).select(
-                F.col("p.sep").alias("sep"), F.col("p.value").alias("value"), "attrs"
-            )
-            aspect_parts.append(ok_aspects.select("sep", "value"))
-            aspect_attach = ok_aspects.select(
-                G.aspect_guid(F.col("sep"), F.col("value")).alias("object_guid"),
-                F.explode("attrs").alias("a"),
-            ).select("object_guid", F.col("a.guid").alias("attribute_guid"))
+            .alias("message"),
+        )
+        ok_aspects = parsed.where(F.col("p.status") == 0).select(
+            F.col("p.sep").alias("sep"), F.col("p.value").alias("value"), "attrs"
+        )
+        aspect_attach = ok_aspects.select(
+            G.aspect_guid(F.col("sep"), F.col("value")).alias("object_guid"),
+            F.explode("attrs").alias("a"),
+        ).select("object_guid", F.col("a.guid").alias("attribute_guid"))
 
-        aspects_all = aspect_parts[0]
-        for p in aspect_parts[1:]:
-            aspects_all = aspects_all.unionByName(p)
         aspects = (
-            aspects_all.select(
+            tag_aspects.unionByName(ok_aspects.select("sep", "value"))
+            .select(
                 G.aspect_guid(F.col("sep"), F.col("value")).alias("guid"),
                 F.col("sep").alias("separator"),
                 "value",
@@ -772,26 +804,29 @@ class Assembler:
 
         # ---- attributes registry + attachments -------------------------
         attributes = (
-            attr_pool.select(F.explode("attrs").alias("a"))
+            attr_pool.select(
+                F.explode(
+                    F.concat("attrs", "link_attrs", "through_attrs", "loc_attrs")
+                ).alias("a")
+            )
             .select("a.*")
             .dropDuplicates(["guid"])
         )
 
-        attach_parts = [
+        object_attributes = (
             xall.select(
                 F.col("guid").alias("object_guid"), F.explode("attrs").alias("a")
-            ).select("object_guid", F.col("a.guid").alias("attribute_guid")),
-            linked.select(
-                F.col("link_guid").alias("object_guid"),
-                F.explode("link_attrs").alias("a"),
-            ).select("object_guid", F.col("a.guid").alias("attribute_guid")),
-        ]
-        if aspect_attach is not None:
-            attach_parts.append(aspect_attach)
-        object_attributes = attach_parts[0]
-        for p in attach_parts[1:]:
-            object_attributes = object_attributes.unionByName(p)
-        object_attributes = object_attributes.distinct()
+            )
+            .select("object_guid", F.col("a.guid").alias("attribute_guid"))
+            .unionByName(
+                linked.select(
+                    F.col("link_guid").alias("object_guid"),
+                    F.explode("link_attrs").alias("a"),
+                ).select("object_guid", F.col("a.guid").alias("attribute_guid"))
+            )
+            .unionByName(aspect_attach)
+            .distinct()
+        )
 
         # ---- lineage -----------------------------------------------------
         lineage = (
@@ -814,13 +849,12 @@ class Assembler:
             .distinct()
         )
 
-        # ---- errors ------------------------------------------------------
-        err_parts = [handler_errors, pin_errors, tag_errors, invalid_errors]
-        if aspect_errors is not None:
-            err_parts.append(aspect_errors)
-        errors = err_parts[0]
-        for p in err_parts[1:]:
-            errors = errors.unionByName(p)
+        errors = (
+            handler_errors.unionByName(pin_errors)
+            .unionByName(tag_errors)
+            .unionByName(invalid_errors)
+            .unionByName(aspect_errors)
+        )
 
         return {
             "xtargets": xtargets,
