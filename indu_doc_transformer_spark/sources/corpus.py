@@ -102,10 +102,14 @@ def _row_bbox(x0: float, y: float, x1: float, h: float = 10.0) -> str:
     return f"{x0},{y},{x1},{y + h}"
 
 
-def _footer_html(f: int, l: int, project: str, product: str) -> str:
+def _footer_html(f: int, l: int, project: str, product: str, no_tags: bool = False) -> str:
+    """no_tags=True: footer exists (project present) but the hierarchy
+    grid is empty — page tags get no completion prefix, so unparseable
+    tags stay unparseable ('Tag is invalid' path, god.py:288-292)."""
+    row0 = _tr(["", "", ""]) if no_tags else _tr([f"=F{f}", f"+L{l}", ""])
     grid = (
         '<table class="footer-grid">'
-        + _tr([f"=F{f}", f"+L{l}", ""])
+        + row0
         + _tr(["rev A", "2025-01-01", "sheet"])
         + _tr(["", "", ""])
         + "</table>"
@@ -148,6 +152,8 @@ def _gen_device_rows(rng: DetRng, dev_prefix="M") -> list[list]:
     for _ in range(rng.randint(2, 6)):
         k = rng.randint(1, 40)
         tag = rng.choice([f"-{dev_prefix}{k}", f"=F{rng.randint(1, 3)}+L{rng.randint(1, 4)}-{dev_prefix}{k}"])
+        if rng.u() < 0.06:
+            tag = f"GARBAGE{k}"  # no separator: invalid unless footer-completed
         rows.append(
             [
                 tag,
@@ -413,7 +419,10 @@ def generate_doc(i: int, seed: str = "sparkgraft") -> dict:
         parts.append(_main_table_html(_gen_device_rows(rng)))
 
     if variant != "no_footer":
-        parts.append(_footer_html(f, l, f"Project{rng.randint(1, 3)}", f"Product {f}/{l}"))
+        no_tags = rng.u() < 0.12  # empty footer grid: no completion prefix
+        parts.append(
+            _footer_html(f, l, f"Project{rng.randint(1, 3)}", f"Product {f}/{l}", no_tags)
+        )
     parts.append("</body></html>")
 
     html = "".join(parts)

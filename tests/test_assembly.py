@@ -101,3 +101,36 @@ def test_errors_match(results):
     g = sorted((r.url, r.page_no, r.severity, r.message) for r in got["errors"])
     e = sorted(oracle.errors)
     assert g == e
+
+
+def test_invalid_tag_path_parity(spark):
+    """Docs 500-560 include garbage tags under no-tag footers: the
+    'Tag is invalid' warning + unparseable-tag xtarget creation
+    (god.py:288-299) must match the oracle."""
+    from pyspark.sql import Row
+
+    from indu_doc_transformer_spark.kernels.assemble import Assembly
+    from indu_doc_transformer_spark.kernels.layout import extract_document
+    from indu_doc_transformer_spark.sources.corpus import CORPUS_SCHEMA, generate_doc
+
+    docs = [generate_doc(i) for i in range(500, 560)]
+    sdf = spark.createDataFrame([Row(**d) for d in docs], schema=CORPUS_SCHEMA)
+    tables = asm_op.assemble(ex.rows_table(ex.extract(sdf, 4)))
+
+    oracle = Assembly()
+    for d in docs:
+        r = extract_document(d["html"])
+        if r["rows"]:
+            for row in r["rows"]:
+                oracle.process_row(
+                    d["url"], 1, r["page_type"], r["footer"]["tags"], row
+                )
+
+    g_err = sorted((r.url, r.severity, r.message) for r in tables["errors"].collect())
+    e_err = sorted((u, s, m) for (u, p, s, m) in oracle.errors)
+    assert g_err == e_err
+    assert any("Tag is invalid" in m for (_, _, m) in g_err)
+
+    g_x = {(r.guid, r.tag, r.target_type) for r in tables["xtargets"].collect()}
+    e_x = {(x["guid"], x["tag"], x["target_type"]) for x in oracle.xtargets.values()}
+    assert g_x == e_x
