@@ -878,4 +878,34 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
         """,
+        # hyperplane-LSH ANN: deterministic md5-derived +-1 hyperplanes,
+        # bucket equi-join, exact cosine re-rank — same formula both
+        # engines (similarity.py hyperplane_sign)
+        "x_ann_lsh": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            b AS (
+              SELECT vec_id, v,
+                     array_to_string(list_transform(generate_series(0,5), p ->
+                       CASE WHEN list_sum(list_transform(generate_series(1,64), i ->
+                              cast(v[i] as double) *
+                              (CASE WHEN substr(md5(cast(p as varchar) || ':' || cast(i as varchar)), 1, 1)
+                                         IN ('0','1','2','3','4','5','6','7')
+                                    THEN 1.0 ELSE -1.0 END)))
+                            >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              FROM base
+            ),
+            probes AS (
+              SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+              FROM b WHERE vec_id IN (0,1,2)
+            ),
+            scored AS (
+              SELECT probe_id, b.vec_id AS vec_id, {_cos("pv", "b.v")} AS cos_sim
+              FROM b, probes WHERE b.bucket = probes.pbucket AND b.vec_id != probe_id
+            )
+            SELECT probe_id, vec_id, cos_sim, rank FROM (
+              SELECT probe_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
     }
