@@ -106,6 +106,9 @@ def main() -> None:
                 "sf": sf,
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
+                "docs_per_sec_per_core": round(n_docs / extract_sec / cpus, 1)
+                if extract_sec
+                else None,
                 "cores": cpus,
             }
         )

@@ -105,7 +105,10 @@ def aspect_tree(
         F.concat(
             F.lit(sep),
             F.coalesce(
-                F.element_at(F.try_element_at("parts", F.lit(sep)), 1), F.lit("")
+                F.try_element_at(
+                    F.try_element_at("parts", F.lit(sep)), F.lit(1)
+                ),
+                F.lit(""),
             ),
         ).alias(f"level{i}")
         for i, sep in enumerate(seps, 1)

@@ -91,7 +91,16 @@ def test_aml_export_well_formed(spark, tables):
         assert n == r.n_targets
         total += n
     # every parseable-tag target appears exactly once across hierarchies
-    assert total == tables["xtargets"].count()
+    # (unparseable tags have no aspect path and are excluded)
+    from indu_doc_transformer_spark.config import DEFAULT_ASPECTS
+    from indu_doc_transformer_spark.kernels.tagparse import tag_parts
+
+    expected = sum(
+        1
+        for r in tables["xtargets"].collect()
+        if any(v for v in tag_parts(r.tag, DEFAULT_ASPECTS).values())
+    )
+    assert total == expected
 
 
 def test_stats(spark, tables):
