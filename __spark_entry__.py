@@ -70,7 +70,7 @@ _CACHE: dict = {}
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    key = (id(spark), sf_dir, "extracted")
+    key = (spark.sparkContext.applicationId, sf_dir, "extracted")
     if key not in _CACHE:
         _CACHE[key] = ex.extract(_corpus(spark, sf_dir), num_partitions=32).persist()
     return _CACHE[key]
@@ -80,7 +80,7 @@ def _entities(spark: SparkSession, sf_dir: str):
     from indu_doc_transformer_spark.operators import assembly as asm
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    key = (id(spark), sf_dir, "entities")
+    key = (spark.sparkContext.applicationId, sf_dir, "entities")
     if key not in _CACHE:
         _CACHE[key] = asm.assemble(ex.rows_table(_extracted(spark, sf_dir)))
     return _CACHE[key]
@@ -93,7 +93,11 @@ def x_extract_text(spark, sf_dir):
 def x_spans(spark, sf_dir):
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    return ex.spans_table(_extracted(spark, sf_dir))
+    # loc is array<double>; the driver canonicalizer sorts cell values
+    # and cannot hash lists — project it through a string join
+    return ex.spans_table(_extracted(spark, sf_dir)).withColumn(
+        "loc", F.array_join(F.col("loc"), ",")
+    )
 
 
 def x_entity_xtargets(spark, sf_dir):
@@ -270,8 +274,12 @@ def q_sessionize(spark, sf_dir):
     wsum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # explicit bigint on BOTH engines: DuckDB sum(int) yields HUGEINT,
+    # which hash-mismatches Spark's bigint in the driver's canonicalizer
     return ev.withColumn("flag", flag).select(
-        "event_id", "user_id", F.sum("flag").over(wsum).alias("session_id")
+        "event_id",
+        "user_id",
+        F.sum("flag").over(wsum).cast("long").alias("session_id"),
     )
 
 
@@ -311,8 +319,9 @@ def q_link_graph(spark, sf_dir):
     """A12: edge weights + degree sums."""
     ev = _t(spark, sf_dir, "events")
     edges = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("weight"))
+    # bigint cast: same HUGEINT-vs-bigint hasher note as q_sessionize
     return edges.groupBy("user_id").agg(
-        F.sum("weight").alias("degree"), F.count("*").alias("n_types")
+        F.sum("weight").cast("long").alias("degree"), F.count("*").alias("n_types")
     )
 
 
@@ -663,8 +672,8 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             SELECT event_id, user_id,
-                   sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   cast(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
             FROM f
         """,
         "q_top_customers_per_nation": """
@@ -687,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_type, count(*) AS weight
               FROM events GROUP BY user_id, event_type
             )
-            SELECT user_id, sum(weight) AS degree, count(*) AS n_types
+            SELECT user_id, cast(sum(weight) as bigint) AS degree, count(*) AS n_types
             FROM edges GROUP BY user_id
         """,
         "q_explode_product": """

@@ -63,18 +63,34 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
+            # mimic the driver: the canonicalizer sorts every column; a
+            # list/dict-typed cell is unhashable and crashes even the
+            # rows-only check, so flag it here
+            import numpy as np
+
+            bad = [
+                c
+                for c in scols
+                if len(spdf)
+                and spdf[c].map(lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+            ]
+            if bad:
+                print(f"FAIL  {name}: unhashable columns for driver canonicalizer: {bad}")
+                failures.append(name)
+                continue
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -83,6 +99,16 @@ def main():
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
             ok = False
+        if ok:
+            # the driver hashes pandas values: an int64-vs-float64 dtype
+            # split (e.g. DuckDB HUGEINT sums) hash-mismatches even when
+            # stringified values agree — compare dtype kinds explicitly
+            skinds = {c: spdf.dtypes[c].kind for c in scols}
+            dkinds = {c: dpdf.dtypes[c].kind for c in dcols}
+            mism = {c: (skinds[c], dkinds[c]) for c in skinds if skinds[c] != dkinds[c]}
+            if mism:
+                print(f"FAIL  {name}: pandas dtype mismatch {mism}")
+                ok = False
         if ok and len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
             ok = False
