@@ -89,6 +89,7 @@ def _simple_attrs(cols: Column, exclude: list[str]) -> Column:
         F.map_entries(cols),
         lambda e: (~e["key"].isin(exclude))
         & (~e["key"].startswith("_"))
+        & (e["key"] != "")
         & (F.trim(e["value"]) != ""),
     )
     return F.transform(
@@ -139,6 +140,7 @@ def _plc_attr(cols: Column) -> Column:
                 F.map_entries(cols),
                 lambda e: (~e["key"].isin(["tag", "plc_addr"]))
                 & (~e["key"].startswith("_"))
+                & (e["key"] != "")
                 & (F.trim(e["value"]) != ""),
             ),
             lambda e: F.struct(e["key"].alias("key"), F.trim(e["value"]).alias("value")),
@@ -451,92 +453,109 @@ class Assembler:
         "structure_identifier_overview": ["tag"],
     }
 
-    def _precompute(self, rows: DataFrame) -> DataFrame:
-        """Shared per-row columns computed once: the attribute arrays are
-        the most expensive subtrees (md5 + to_json per entry) and would
-        otherwise be re-evaluated per emitted request element."""
-        c = F.col("page_type")
+    def _branch(self, rows: DataFrame, page_type: str) -> DataFrame:
+        """One per-page-type branch: filter -> branch-specific precompute
+        -> request projection -> explode.
+
+        Design note (measured, scripts/profile_union.py): a single CASE
+        projection over all 9 handlers compiles to one giant janino
+        class (~35s one-time compile, and too wide for whole-stage
+        codegen). Nine small per-type projections compile in ~2s each
+        and execute codegen'd, cutting the assembly fixed cost >2x.
+        Each branch re-scans the rows input with a pushable
+        page_type filter — at warehouse scale the rows stage table is
+        partitioned by page_type, so the 9 scans prune to 1 full pass.
+
+        The precomputed ``_attrs``/``_loc_a`` (and terminal ``_cols1/2``)
+        columns hold the expensive md5+to_json attribute arrays so they
+        are evaluated once per row, never per emitted request element.
+        """
         cols = F.col("cols")
         loc = _loc_attrs()
+        b = rows.where(F.col("page_type") == page_type).withColumn("_loc_a", loc)
 
-        def base_attrs(ptype: str) -> Column:
-            return F.concat(_simple_attrs(cols, self._SIMPLE_EXCLUDE[ptype]), loc)
+        def base_attrs(c: Column, ptype: str) -> Column:
+            return F.concat(_simple_attrs(c, self._SIMPLE_EXCLUDE[ptype]), F.col("_loc_a"))
 
-        attrs = (
-            F.when(c == "connection_list", base_attrs("connection_list"))
-            .when(c == "device_tag_list", base_attrs("device_tag_list"))
-            .when(c == "cable_overview", base_attrs("cable_overview"))
-            .when(
-                c == "topology",
-                F.concat(base_attrs("topology"), F.array(_routing_attr(_g(cols, "route")))),
-            )
-            .when(
-                c == "wires_part_list",
+        attrs, loc_a = F.col("_attrs"), F.col("_loc_a")
+        if page_type == "connection_list":
+            b = b.withColumn("_attrs", base_attrs(cols, page_type))
+            req = self._connection_list(cols, attrs, loc_a)
+        elif page_type == "device_tag_list":
+            b = b.withColumn("_attrs", base_attrs(cols, page_type))
+            req = self._device_tag_list(cols, attrs)
+        elif page_type == "cable_overview":
+            b = b.withColumn("_attrs", base_attrs(cols, page_type))
+            req = self._cable_overview(cols, attrs, loc_a)
+        elif page_type == "topology":
+            b = b.withColumn(
+                "_attrs",
                 F.concat(
-                    base_attrs("wires_part_list"),
+                    base_attrs(cols, page_type),
+                    F.array(_routing_attr(_g(cols, "route"))),
+                ),
+            )
+            req = self._topology(cols, attrs, loc_a)
+        elif page_type == "wires_part_list":
+            b = b.withColumn(
+                "_attrs",
+                F.concat(
+                    base_attrs(cols, page_type),
                     F.when(
                         _g(cols, "route") != "",
                         F.array(_routing_attr(_g(cols, "route"))),
                     ).otherwise(F.expr(EMPTY_ATTRS)),
                 ),
             )
-            .when(c == "cable_diagram", base_attrs("cable_diagram"))
-            .when(
-                c == "structure_identifier_overview",
-                base_attrs("structure_identifier_overview"),
+            req = self._wires(cols, attrs, loc_a)
+        elif page_type == "cable_diagram":
+            b = b.withColumn("_attrs", base_attrs(cols, page_type))
+            req = self._cable_diagram(cols, attrs, loc_a)
+        elif page_type == "terminal_diagram":
+            cable_excl = self._SIMPLE_EXCLUDE["cable_diagram"]
+            b = (
+                b.withColumn("_cols1", self._terminal_side("_1"))
+                .withColumn("_cols2", self._terminal_side("_2"))
+                .withColumn(
+                    "_attrs1",
+                    F.concat(_simple_attrs(F.col("_cols1"), cable_excl), loc_a),
+                )
+                .withColumn(
+                    "_attrs2",
+                    F.concat(_simple_attrs(F.col("_cols2"), cable_excl), loc_a),
+                )
             )
-            .when(c == "plc_diagram", F.concat(F.array(_plc_attr(cols)), loc))
-        )
-        cable_excl = self._SIMPLE_EXCLUDE["cable_diagram"]
-        terminal = c == "terminal_diagram"
-        side1 = F.when(terminal, self._terminal_side("_1"))
-        side2 = F.when(terminal, self._terminal_side("_2"))
+            req = F.concat(
+                self._cable_diagram(F.col("_cols1"), F.col("_attrs1"), loc_a),
+                self._cable_diagram(F.col("_cols2"), F.col("_attrs2"), loc_a),
+            )
+        elif page_type == "structure_identifier_overview":
+            b = b.withColumn("_attrs", base_attrs(cols, page_type))
+            req = self._structure(cols, attrs)
+        elif page_type == "plc_diagram":
+            b = b.withColumn("_attrs", F.concat(F.array(_plc_attr(cols)), loc_a))
+            req = self._plc(cols, attrs)
+        else:  # pragma: no cover - guarded by HANDLED_PAGE_TYPES
+            raise KeyError(page_type)
         return (
-            rows.withColumn("_loc_a", loc)
-            .withColumn("_cols1", side1)
-            .withColumn("_cols2", side2)
-            .withColumn("_attrs", attrs)
-            .withColumn(
-                "_attrs1",
-                F.when(
-                    terminal,
-                    F.concat(_simple_attrs(F.col("_cols1"), cable_excl), F.col("_loc_a")),
-                ),
-            )
-            .withColumn(
-                "_attrs2",
-                F.when(
-                    terminal,
-                    F.concat(_simple_attrs(F.col("_cols2"), cable_excl), F.col("_loc_a")),
-                ),
-            )
+            b.withColumn("reqs", req)
+            .select("url", "page_no", "footer_tags", F.explode("reqs").alias("r"))
+            .select("url", "page_no", "footer_tags", "r.*")
         )
 
-    def _requests_expr(self) -> Column:
-        cols = F.col("cols")
-        c = F.col("page_type")
-        attrs, loc = F.col("_attrs"), F.col("_loc_a")
-        expr = (
-            F.when(c == "connection_list", self._connection_list(cols, attrs, loc))
-            .when(c == "device_tag_list", self._device_tag_list(cols, attrs))
-            .when(c == "cable_overview", self._cable_overview(cols, attrs, loc))
-            .when(c == "topology", self._topology(cols, attrs, loc))
-            .when(c == "wires_part_list", self._wires(cols, attrs, loc))
-            .when(c == "cable_diagram", self._cable_diagram(cols, attrs, loc))
-            .when(
-                c == "terminal_diagram",
-                F.concat(
-                    self._cable_diagram(F.col("_cols1"), F.col("_attrs1"), loc),
-                    self._cable_diagram(F.col("_cols2"), F.col("_attrs2"), loc),
-                ),
-            )
-            .when(c == "structure_identifier_overview", self._structure(cols, attrs))
-            .when(c == "plc_diagram", self._plc(cols, attrs))
-            .otherwise(F.lit(None).cast(f"array<{REQ_TYPE}>"))
-        )
-        return expr
+    HANDLED_PAGE_TYPES = (
+        "connection_list",
+        "device_tag_list",
+        "cable_overview",
+        "topology",
+        "wires_part_list",
+        "cable_diagram",
+        "terminal_diagram",
+        "structure_identifier_overview",
+        "plc_diagram",
+    )
 
-    # -- the single pass + finishers ------------------------------------
+    # -- the per-type branches + finishers ------------------------------
 
     def assemble(self, rows: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
         """persist=True caches the two fan-out points (the exploded
@@ -546,19 +565,14 @@ class Assembler:
         rows = rows.select(
             "url", "page_no", "page_type", "footer_tags", "row_idx", "cols", "loc_repr"
         )
-        rows = self._precompute(rows)
-        reqs = (
-            rows.withColumn("reqs", self._requests_expr())
-            .where(F.col("reqs").isNotNull())
-            .select(
-                "url", "page_no", "footer_tags", F.explode("reqs").alias("r")
-            )
-            .select("url", "page_no", "footer_tags", "r.*")
-        )
+        parts = [self._branch(rows, pt) for pt in self.HANDLED_PAGE_TYPES]
+        reqs = parts[0]
+        for p in parts[1:]:
+            reqs = reqs.unionByName(p)
         if persist:
             # localCheckpoint (not just persist): the request-building
-            # CASE expression is huge, and every downstream action would
-            # re-run Catalyst analysis over it; truncating the lineage
+            # projections are large, and every downstream action would
+            # re-run Catalyst analysis over them; truncating the lineage
             # here makes all 9 output plans small. At warehouse scale
             # the equivalent is writing the requests stage table.
             reqs = reqs.localCheckpoint(eager=True)
