@@ -108,6 +108,124 @@ def x_entity_connections(spark, sf_dir):
     return _entities(spark, sf_dir)["connections"]
 
 
+def x_entity_xtarget_aspects(spark, sf_dir):
+    """W3: persisted xtarget<->aspect relation with sort_order
+    (reference db_builder/db.py:222-240)."""
+    return _entities(spark, sf_dir)["xtarget_aspects"]
+
+
+def _requests_parquet(spark, sf_dir) -> str:
+    """Write the typed-request stage table once per sf dir; both the
+    Spark query and the DuckDB oracle read the SAME parquet, so
+    q_xtargets_from_rows oracles the finisher layer end-to-end."""
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/indu_spark_oracle/requests_{name}"
+    key = (spark.sparkContext.applicationId, sf_dir, "requests_pq")
+    if key not in _CACHE:
+        from indu_doc_transformer_spark.operators import assembly as asm
+        from indu_doc_transformer_spark.operators import extraction as ex
+
+        asm.Assembler().requests_table(
+            ex.rows_table(_extracted(spark, sf_dir))
+        ).select(
+            "url", "page_no", "kind", "raw_tag", "raw_tag_c", "target_type",
+            "through_tag", "through_tag_c", "src_tag", "src_tag_c",
+            "dst_tag", "dst_tag_c", "src_pin_tag", "src_pin_tag_c",
+            "dst_pin_tag", "dst_pin_tag_c",
+        ).write.mode("overwrite").parquet(path)
+        _CACHE[key] = path
+    return path
+
+
+def q_xtargets_from_rows(spark, sf_dir):
+    """A4/A9 oracled end-to-end: the xtargets finisher (pin guards,
+    footer-completed tags, pin-tag prohibition, md5 GUIDs, max-priority
+    merge) recomputed from the persisted requests stage table on BOTH
+    engines (operators/assembly.py finish; god.py:343-396)."""
+    reqs = spark.read.parquet(_requests_parquet(spark, sf_dir))
+
+    def split_tag(col):
+        pos = F.instr(col, ":")
+        return F.when(pos > 0, F.substring(col, 1, pos - 1)).otherwise(col)
+
+    def split_pin(col):
+        pos = F.instr(col, ":")
+        return F.when(pos > 0, F.substr(col, pos)).otherwise(F.lit(None))
+
+    cwl = (
+        reqs.where(F.col("kind") == "cwl")
+        .withColumn("s_tag", split_tag(F.col("src_pin_tag")))
+        .withColumn("s_pin", split_pin(F.col("src_pin_tag")))
+        .withColumn("d_tag", split_tag(F.col("dst_pin_tag")))
+        .withColumn("d_pin", split_pin(F.col("dst_pin_tag")))
+        .withColumn("sc_tag", split_tag(F.col("src_pin_tag_c")))
+        .withColumn("dc_tag", split_tag(F.col("dst_pin_tag_c")))
+    )
+    cwl = cwl.where(
+        ~(
+            F.col("s_pin").isNull() | (F.col("s_pin") == "")
+            | F.col("d_pin").isNull() | (F.col("d_pin") == "")
+        )
+    ).where(~((F.col("s_tag") == "") | (F.col("d_tag") == "")))
+    conn_all = cwl.select(
+        "through_tag", "through_tag_c",
+        F.col("s_tag").alias("src_tag"), F.col("sc_tag").alias("src_tag_c"),
+        F.col("d_tag").alias("dst_tag"), F.col("dc_tag").alias("dst_tag_c"),
+    ).unionByName(
+        reqs.where(F.col("kind") == "conn").select(
+            "through_tag", "through_tag_c",
+            "src_tag", "src_tag_c", "dst_tag", "dst_tag_c",
+        )
+    )
+    conn_all = conn_all.withColumn(
+        "through_tag",
+        F.when(F.col("through_tag") == "", None).otherwise(F.col("through_tag")),
+    )
+
+    def completed(raw, c):
+        return F.when(
+            F.col(raw).isNull() | F.col(raw).contains(":"), None
+        ).otherwise(F.col(c))
+
+    parts = [
+        reqs.where(F.col("kind") == "xreq").select(
+            completed("raw_tag", "raw_tag_c").alias("tag"),
+            F.col("target_type").alias("t"),
+        )
+    ]
+    for role, ttype in (("through", "cable"), ("src", "device"), ("dst", "device")):
+        parts.append(
+            conn_all.select(
+                completed(f"{role}_tag", f"{role}_tag_c").alias("tag"),
+                F.lit(ttype).alias("t"),
+            )
+        )
+    xall = parts[0]
+    for p in parts[1:]:
+        xall = xall.unionByName(p)
+    xall = xall.where(F.col("tag").isNotNull())
+    pri = (
+        F.when(F.col("t") == "cable", 3)
+        .when(F.col("t") == "device", 2)
+        .when(F.col("t") == "strip", 1)
+        .otherwise(0)
+    )
+    name = (
+        F.when(F.col("pri") == 3, "cable")
+        .when(F.col("pri") == 2, "device")
+        .when(F.col("pri") == 1, "strip")
+        .otherwise("other")
+    )
+    return (
+        xall.select(md5_uuid(F.col("tag")).alias("guid"), "tag", pri.alias("p"))
+        .groupBy("guid")
+        .agg(F.min("tag").alias("tag"), F.max("p").alias("pri"))
+        .select("guid", "tag", name.alias("target_type"))
+    )
+
+
 def x_entity_links_pins(spark, sf_dir):
     t = _entities(spark, sf_dir)
     return (
@@ -586,11 +704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_embedding_neardup": q_embedding_neardup,
+        # assembly finisher oracled end-to-end over the staged requests
+        "q_xtargets_from_rows": q_xtargets_from_rows,
         # extraction pipeline (kernel-based; rows-only check)
         "x_extract_text": x_extract_text,
         "x_spans": x_spans,
         "x_entity_xtargets": x_entity_xtargets,
         "x_entity_connections": x_entity_connections,
+        "x_entity_xtarget_aspects": x_entity_xtarget_aspects,
         "x_entity_links_pins": x_entity_links_pins,
         "x_metrics_errors": x_metrics_errors,
         "x_partition_metrics": x_partition_metrics,
@@ -886,6 +1007,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
+        """,
+        # the xtargets finisher over the staged requests parquet: the
+        # Spark query writes /tmp/indu_spark_oracle/requests_sf0.01 from
+        # the same extraction pass, so both engines see identical input
+        "q_xtargets_from_rows": f"""
+            WITH reqs AS (
+              SELECT * FROM read_parquet('/tmp/indu_spark_oracle/requests_sf0.01/*.parquet')
+            ),
+            cwl AS (
+              SELECT through_tag, through_tag_c,
+                     CASE WHEN strpos(src_pin_tag, ':') > 0
+                          THEN substr(src_pin_tag, 1, strpos(src_pin_tag, ':') - 1)
+                          ELSE src_pin_tag END AS src_tag,
+                     CASE WHEN strpos(src_pin_tag, ':') > 0
+                          THEN substr(src_pin_tag, strpos(src_pin_tag, ':'))
+                          ELSE NULL END AS src_pin,
+                     CASE WHEN strpos(dst_pin_tag, ':') > 0
+                          THEN substr(dst_pin_tag, 1, strpos(dst_pin_tag, ':') - 1)
+                          ELSE dst_pin_tag END AS dst_tag,
+                     CASE WHEN strpos(dst_pin_tag, ':') > 0
+                          THEN substr(dst_pin_tag, strpos(dst_pin_tag, ':'))
+                          ELSE NULL END AS dst_pin,
+                     CASE WHEN strpos(src_pin_tag_c, ':') > 0
+                          THEN substr(src_pin_tag_c, 1, strpos(src_pin_tag_c, ':') - 1)
+                          ELSE src_pin_tag_c END AS src_tag_c,
+                     CASE WHEN strpos(dst_pin_tag_c, ':') > 0
+                          THEN substr(dst_pin_tag_c, 1, strpos(dst_pin_tag_c, ':') - 1)
+                          ELSE dst_pin_tag_c END AS dst_tag_c
+              FROM reqs WHERE kind = 'cwl'
+            ),
+            conn_all AS (
+              SELECT CASE WHEN through_tag = '' THEN NULL ELSE through_tag END AS through_tag,
+                     through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c
+              FROM cwl
+              WHERE NOT (src_pin IS NULL OR src_pin = '' OR dst_pin IS NULL OR dst_pin = '')
+                AND NOT (src_tag = '' OR dst_tag = '')
+              UNION ALL
+              SELECT CASE WHEN through_tag = '' THEN NULL ELSE through_tag END,
+                     through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c
+              FROM reqs WHERE kind = 'conn'
+            ),
+            xall AS (
+              SELECT CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
+                          THEN NULL ELSE raw_tag_c END AS tag,
+                     target_type AS t
+              FROM reqs WHERE kind = 'xreq'
+              UNION ALL
+              SELECT CASE WHEN through_tag IS NULL OR strpos(through_tag, ':') > 0
+                          THEN NULL ELSE through_tag_c END, 'cable' FROM conn_all
+              UNION ALL
+              SELECT CASE WHEN src_tag IS NULL OR strpos(src_tag, ':') > 0
+                          THEN NULL ELSE src_tag_c END, 'device' FROM conn_all
+              UNION ALL
+              SELECT CASE WHEN dst_tag IS NULL OR strpos(dst_tag, ':') > 0
+                          THEN NULL ELSE dst_tag_c END, 'device' FROM conn_all
+            ),
+            scored AS (
+              SELECT {_sql_md5_uuid("tag")} AS guid, tag,
+                     CASE t WHEN 'cable' THEN 3 WHEN 'device' THEN 2
+                            WHEN 'strip' THEN 1 ELSE 0 END AS p
+              FROM xall WHERE tag IS NOT NULL
+            )
+            SELECT guid, min(tag) AS tag,
+                   CASE max(p) WHEN 3 THEN 'cable' WHEN 2 THEN 'device'
+                               WHEN 1 THEN 'strip' ELSE 'other' END AS target_type
+            FROM scored GROUP BY guid
         """,
         # hyperplane-LSH ANN: deterministic md5-derived +-1 hyperplanes,
         # bucket equi-join, exact cosine re-rank — same formula both

@@ -38,13 +38,28 @@ class Assembly:
         self.attributes: dict[str, dict] = {}
         self.object_attrs: set[tuple[str, str]] = set()
         self.lineage: set[tuple[str, int, str, str]] = set()
-        self.errors: list[tuple[str, int, str, str]] = []
+        self._base_errors: list[tuple[str, int, str, str]] = []
         self._seen_tags: set[str] = set()
+        # invalid completed tags and the smallest (url, page_no) that
+        # encountered them: the reference attributes the one-per-tag
+        # "Tag is invalid" warning to the first processing encounter,
+        # which has no distributed analog — both this oracle and the
+        # Spark assembly use min(url, page_no) as the deterministic
+        # stand-in (operators/assembly.py invalid_errors)
+        self._invalid_tags: set[str] = set()
+        self._invalid_sites: dict[str, tuple[str, int]] = {}
+
+    @property
+    def errors(self) -> list[tuple[str, int, str, str]]:
+        return self._base_errors + [
+            (url, page_no, "WARNING", f"Tag is invalid: {t}")
+            for t, (url, page_no) in self._invalid_sites.items()
+        ]
 
     # -- factories ---------------------------------------------------
 
     def error(self, url, page_no, msg, severity="WARNING"):
-        self.errors.append((url, page_no, severity, msg))
+        self._base_errors.append((url, page_no, severity, msg))
 
     def create_attribute(self, attr_type: str, name: str, value) -> str:
         if attr_type == "SIMPLE":
@@ -106,8 +121,13 @@ class Assembly:
                     for v in values:
                         self._register_aspect(sep, v)
             if not parts:
-                self.error(url, page_no, f"Tag is invalid: {completed}")
+                self._invalid_tags.add(completed)
             self._seen_tags.add(completed)
+        if completed in self._invalid_tags:
+            site = (url, page_no)
+            cur = self._invalid_sites.get(completed)
+            if cur is None or site < cur:
+                self._invalid_sites[completed] = site
         return completed
 
     def create_xtarget(
@@ -194,6 +214,23 @@ class Assembly:
         for role, pin in (("src", pin_from), ("dst", pin_to)):
             for p in tp.pin_chain(pin, role, lg):
                 self.pins.setdefault(p["guid"], p)
+
+    def xtarget_aspects(self) -> set[tuple[str, str, int]]:
+        """xtarget <-> aspect relation with per-xtarget sort_order
+        (reference db_builder/db.py:222-240): aspects enumerated in
+        config separator order, empty levels contributing the
+        empty-value aspect, sort_order counting across all levels."""
+        out: set[tuple[str, str, int]] = set()
+        for guid, x in self.xtargets.items():
+            parts = tp.tag_parts(x["tag"], self.config)
+            if not parts:
+                continue
+            sort_order = 0
+            for sep, values in parts.items():
+                for v in values if values else ("",):
+                    out.add((guid, tp.aspect_guid(sep, v), sort_order))
+                    sort_order += 1
+        return out
 
     # -- handlers (page_processor.py:107-521) -------------------------
 

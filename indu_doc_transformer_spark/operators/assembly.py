@@ -557,11 +557,10 @@ class Assembler:
 
     # -- the per-type branches + finishers ------------------------------
 
-    def assemble(self, rows: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
-        """persist=True caches the two fan-out points (the exploded
-        requests feed 6 finisher families; conn_all feeds 5 outputs) —
-        at warehouse scale the same role is played by materializing
-        stage tables."""
+    def requests_table(self, rows: DataFrame) -> DataFrame:
+        """The typed-request stage table: union of the 9 per-page-type
+        branches. At warehouse scale this is a real intermediate table
+        (write it, then run ``finish`` as a separate restartable job)."""
         rows = rows.select(
             "url", "page_no", "page_type", "footer_tags", "row_idx", "cols", "loc_repr"
         )
@@ -569,6 +568,14 @@ class Assembler:
         reqs = parts[0]
         for p in parts[1:]:
             reqs = reqs.unionByName(p)
+        return reqs
+
+    def assemble(self, rows: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+        """persist=True caches the two fan-out points (the exploded
+        requests feed 6 finisher families; conn_all feeds 5 outputs) —
+        at warehouse scale the same role is played by materializing
+        stage tables."""
+        reqs = self.requests_table(rows)
         if persist:
             # localCheckpoint (not just persist): the request-building
             # projections are large, and every downstream action would
@@ -576,6 +583,11 @@ class Assembler:
             # here makes all 9 output plans small. At warehouse scale
             # the equivalent is writing the requests stage table.
             reqs = reqs.localCheckpoint(eager=True)
+        return self.finish(reqs, persist=persist)
+
+    def finish(self, reqs: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
+        """Entity tables from a (possibly persisted/read-back) requests
+        stage table — the God-merge finisher layer."""
 
         handler_errors = reqs.where(F.col("kind") == "error").select(
             "url", "page_no", F.lit("WARNING").alias("severity"),
@@ -766,6 +778,44 @@ class Assembler:
             F.concat(F.lit("Tag is invalid: "), F.col("tag")).alias("message"),
         )
 
+        # ---- xtarget <-> aspect relation with sort_order ---------------
+        # (W3, reference db_builder/db.py:222-240): aspects per xtarget
+        # enumerated in config separator order; empty levels contribute
+        # the empty-value aspect; sort_order = position in the flattened
+        # enumeration. Derived from distinct_tags (the parts UDF already
+        # ran there), so this costs one posexplode, no extra UDF pass.
+        empty_sv = "cast(array() as array<struct<sep:string,value:string>>)"
+
+        def _sep_entries(sep: str) -> Column:
+            # closure factory, NOT `lambda v, s=sep`: pyspark HOF lambda
+            # arity counts default args and would bind s to the index
+            def entry(v: Column) -> Column:
+                return F.struct(F.lit(sep).alias("sep"), v.alias("value"))
+
+            return F.coalesce(
+                F.transform(
+                    F.when(
+                        F.size(F.try_element_at("parts", F.lit(sep))) == 0,
+                        F.array(F.lit("")),
+                    ).otherwise(F.try_element_at("parts", F.lit(sep))),
+                    entry,
+                ),
+                F.expr(empty_sv),
+            )
+
+        flat_parts = F.flatten(
+            F.array(*[_sep_entries(sep) for sep in self.config.separators])
+        )
+        xtarget_aspects = (
+            distinct_tags.where(F.size("parts") > 0)
+            .select("tag", F.posexplode(flat_parts).alias("sort_order", "a"))
+            .select(
+                G.xtarget_guid(F.col("tag")).alias("xtarget_guid"),
+                G.aspect_guid(F.col("a.sep"), F.col("a.value")).alias("aspect_guid"),
+                "sort_order",
+            )
+        )
+
         # ---- aspects ----------------------------------------------------
         # from tags: one aspect per (separator, value); empty levels of
         # the priority slice become (sep, '') (god.py:269-286)
@@ -872,6 +922,7 @@ class Assembler:
 
         return {
             "xtargets": xtargets,
+            "xtarget_aspects": xtarget_aspects,
             "aspects": aspects,
             "connections": connections,
             "links": links,

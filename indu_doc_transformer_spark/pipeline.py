@@ -27,6 +27,7 @@ from .sources.catalog import read_table, write_table
 
 ENTITY_TABLES = [
     "xtargets",
+    "xtarget_aspects",
     "aspects",
     "connections",
     "links",

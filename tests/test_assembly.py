@@ -33,6 +33,14 @@ def test_xtargets_match(results):
     assert len(g) > 50
 
 
+def test_xtarget_aspects_match(results):
+    """W3 sort_order relation vs the oracle's db.py:222-240 recast."""
+    got, oracle = results
+    g = {(r.xtarget_guid, r.aspect_guid, r.sort_order) for r in got["xtarget_aspects"]}
+    assert g == oracle.xtarget_aspects()
+    assert len(g) > 100
+
+
 def test_aspects_match(results):
     got, oracle = results
     g = {(r.guid, r.separator, r.value) for r in got["aspects"]}
