@@ -278,11 +278,21 @@ def x_search_connections(spark, sf_dir):
 
 
 def x_aml_export(spark, sf_dir):
-    """S9/A15: per-hierarchy AML XML serialization."""
-    from indu_doc_transformer_spark.operators import export as ex_op
+    """S9/A15: full AML export — per-(hierarchy, root) fragments with
+    element counts per kind (targets, aspects, connections, pins,
+    internal links) and the serialized XML length."""
+    from indu_doc_transformer_spark.operators import aml
 
-    return ex_op.aml_export(_entities(spark, sf_dir)["xtargets"]).select(
-        "root", "n_targets", F.length("xml").alias("xml_len")
+    return aml.aml_fragments(_entities(spark, sf_dir)).select(
+        "hierarchy",
+        "section",
+        "root",
+        "n_targets",
+        "n_aspects",
+        "n_connections",
+        "n_pins",
+        "n_links",
+        F.length("xml").alias("xml_len"),
     )
 
 

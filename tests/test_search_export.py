@@ -80,29 +80,6 @@ def test_search_connections(spark, tables):
     assert got2 == expect2
 
 
-def test_aml_export_well_formed(spark, tables):
-    out = ex_op.aml_export(tables["xtargets"]).collect()
-    assert out
-    total = 0
-    for r in out:
-        root = ET.fromstring(r.xml)  # well-formed XML
-        assert root.tag == "InstanceHierarchy"
-        n = len(root.iter()) if False else sum(1 for e in root.iter() if e.tag == "XTarget")
-        assert n == r.n_targets
-        total += n
-    # every parseable-tag target appears exactly once across hierarchies
-    # (unparseable tags have no aspect path and are excluded)
-    from indu_doc_transformer_spark.config import DEFAULT_ASPECTS
-    from indu_doc_transformer_spark.kernels.tagparse import tag_parts
-
-    expected = sum(
-        1
-        for r in tables["xtargets"].collect()
-        if any(v for v in tag_parts(r.tag, DEFAULT_ASPECTS).values())
-    )
-    assert total == expected
-
-
 def test_stats(spark, tables):
     st = {r.table: r.n for r in ex_op.stats(tables).collect()}
     assert st["xtargets"] == tables["xtargets"].count()
