@@ -1,13 +1,13 @@
-"""Search-query compiler + exporters over a small assembled corpus."""
-
-import xml.etree.ElementTree as ET
+"""Search-query compiler (generic path walk) + exporters over a small
+assembled corpus. Mirrors /root/reference/tests/test_searcher.py and
+tests/test_lark_parser.py semantics."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from indu_doc_transformer_spark.operators import export as ex_op
 from indu_doc_transformer_spark.operators import search as s_op
-from indu_doc_transformer_spark.operators.search import Filter, run_parser
+from indu_doc_transformer_spark.operators.search import run_parser
 
 
 class TestParser:
@@ -30,6 +30,17 @@ class TestParser:
         _, fs = run_parser("@attributes(Color)")
         assert fs[0].value is None
 
+    def test_parenthesized_value(self):
+        """lark_parser.py:54 value := '(' VALUE_TEXT? ')'."""
+        _, fs = run_parser("@tag=(=E+A1)")
+        assert fs[0].value == "=E+A1"
+        _, fs = run_parser("@guid=()")
+        assert fs[0].value == ""
+
+    def test_empty_value_strips(self):
+        _, fs = run_parser("@guid=\n")
+        assert fs[0].value == ""
+
 
 @pytest.fixture(scope="module")
 def tables(spark):
@@ -41,43 +52,107 @@ def tables(spark):
     return asm_op.assemble(ex.rows_table(extracted))
 
 
-def test_search_targets_by_tag_substring(spark, tables):
-    idx = s_op.build_target_index(tables).persist()
-    all_targets = {r.guid: r for r in idx.collect()}
-    got = {r.guid for r in s_op.search_targets(idx, "=F1").collect()}
+@pytest.fixture(scope="module")
+def tidx(spark, tables):
+    return s_op.build_target_index(tables).persist()
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, tables):
+    return s_op.build_connection_index(tables).persist()
+
+
+def test_search_targets_by_tag_substring(spark, tidx):
+    all_targets = {r.guid: r for r in tidx.collect()}
+    got = {r.guid for r in s_op.search_targets(tidx, "=F1").collect()}
     expect = {g for g, r in all_targets.items() if "=f1" in r.tag.lower()}
     assert got == expect and got
 
 
-def test_search_targets_by_type_and_attribute(spark, tables):
-    idx = s_op.build_target_index(tables).persist()
-    rows = idx.collect()
-    got = {r.guid for r in s_op.search_targets(idx, "@type=cable").collect()}
+def test_search_targets_by_type_and_attribute(spark, tidx):
+    rows = tidx.collect()
+    got = {r.guid for r in s_op.search_targets(tidx, "@type=cable").collect()}
     expect = {r.guid for r in rows if "cable" in r.type}
     assert got == expect and got
 
-    got2 = {r.guid for r in s_op.search_targets(idx, "@attributes(Manufacturer)=acme").collect()}
+    got2 = {
+        r.guid
+        for r in s_op.search_targets(tidx, "@attributes(Manufacturer)=acme").collect()
+    }
     expect2 = {
         r.guid
         for r in rows
-        if any(a.name == "manufacturer" and a.value and "acme" in a.value for a in r.attrs)
+        if "acme" in (r.attributes or {}).get("manufacturer", "")
     }
     assert got2 == expect2 and got2
 
 
-def test_search_connections(spark, tables):
-    idx = s_op.build_connection_index(tables).persist()
-    rows = idx.collect()
-    got = {r.guid for r in s_op.search_connections(idx, "@src=-x").collect()}
+def test_search_targets_arbitrary_path_no_whitelist(spark, tidx):
+    """Any schema field resolves via the generic walk: a path into the
+    attributes map by key (no param syntax) must also work
+    (searcher.py:211-227 dict step)."""
+    rows = tidx.collect()
+    got = {r.guid for r in s_op.search_targets(tidx, "@attributes.manufacturer=acme").collect()}
+    expect = {
+        r.guid for r in rows if "acme" in (r.attributes or {}).get("manufacturer", "")
+    }
+    assert got == expect and got
+    # unknown field -> matches nothing
+    assert s_op.search_targets(tidx, "@nosuchfield=x").count() == 0
+
+
+def test_search_connections(spark, cidx):
+    rows = cidx.collect()
+    got = {r.guid for r in s_op.search_connections(cidx, "@src=-x").collect()}
     expect = {r.guid for r in rows if "-x" in r.src.lower()}
     assert got == expect and got
 
     got2 = {
         r.guid
-        for r in s_op.search_connections(idx, "@links.attributes(Color)").collect()
+        for r in s_op.search_connections(cidx, "@links.attributes(Color)").collect()
     }
-    expect2 = {r.guid for r in rows if any(a and a.name == "color" for a in r.link_attrs)}
+    expect2 = {
+        r.guid for r in rows if any("color" in (l.attributes or {}) for l in r.links)
+    }
     assert got2 == expect2
+
+
+def test_search_connections_nested_target_path(spark, cidx):
+    """@src_target.tag walks into the nested to_dict struct; a null
+    src_target fails the step (searcher.py:215-227)."""
+    rows = cidx.collect()
+    got = {
+        r.guid
+        for r in s_op.search_connections(cidx, "@src_target.tag=-x").collect()
+    }
+    expect = {
+        r.guid
+        for r in rows
+        if r.src_target is not None and "-x" in (r.src_target.tag or "")
+    }
+    assert got == expect and got
+
+    # pins: list-any over links, struct step into src_pin
+    got2 = {
+        r.guid for r in s_op.search_connections(cidx, "@links.src_pin(role)=src").collect()
+    }
+    expect2 = {r.guid for r in rows if r.links}
+    assert got2 == expect2
+
+
+def test_guide_trees(spark, tidx, cidx):
+    t = s_op.target_search_guide_tree(tidx)
+    assert t["tag"]["__filters__"] == {"@tag"}
+    assert "manufacturer" in t["attributes"]
+    assert t["attributes"]["manufacturer"]["__filters__"] == {
+        "@attributes(manufacturer)"
+    }
+    c = s_op.connection_search_guide_tree(cidx)
+    assert "[list items]" in c["links"]
+    lb = c["links"]["[list items]"]
+    assert "@links.src_pin(name)" in lb["src_pin"]["name"]["__filters__"]
+    assert any(f.startswith("@links(") for f in lb["__filters__"])
+    assert "tag" in c["src_target"]
 
 
 def test_stats(spark, tables):
