@@ -259,7 +259,7 @@ def x_multimodal_features(spark, sf_dir):
 
 def x_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.ann_lsh_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
+    return sim.ann_lsh_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5, dim=64)
 
 
 def x_search_targets(spark, sf_dir):
@@ -664,6 +664,17 @@ def q_embedding_neardup(spark, sf_dir):
     return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.8, 100)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The production near-dup path: hyperplane-LSH buckets -> bucket
+    equi-join -> exact cosine verify (no all-pairs product). The 0.3
+    threshold is tuned to the synthetic random embeddings so the check
+    carries signal (~53 pairs at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -714,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         # assembly finisher oracled end-to-end over the staged requests
         "q_xtargets_from_rows": q_xtargets_from_rows,
         # extraction pipeline (kernel-based; rows-only check)
@@ -1017,6 +1029,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
+        """,
+        # production embedding near-dup: same hyperplane bucket formula
+        # as x_ann_lsh, bucket self-join, exact cosine verify
+        "q_embedding_neardup_lsh": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            b AS (
+              SELECT vec_id, v,
+                     array_to_string(list_transform(generate_series(0,5), p ->
+                       CASE WHEN list_sum(list_transform(generate_series(1,64), i ->
+                              cast(v[i] as double) *
+                              (CASE WHEN substr(md5(cast(p as varchar) || ':' || cast(i as varchar)), 1, 1)
+                                         IN ('0','1','2','3','4','5','6','7')
+                                    THEN 1.0 ELSE -1.0 END)))
+                            >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_cos("a.v", "b.v")} >= 0.3
         """,
         # the xtargets finisher over the staged requests parquet: the
         # Spark query writes /tmp/indu_spark_oracle/requests_sf0.01 from

@@ -55,8 +55,15 @@ def strip_pin(tag: str) -> str:
 
 @lru_cache(maxsize=64)
 def _sep_pattern(separators: tuple[str, ...]) -> re.Pattern:
-    # Longest-first alternation so '===' wins over '=' (tag.py:369-373;
-    # re alternation is first-match, so order by length explicitly).
+    # DELIBERATE DIVERGENCE from the reference (tag.py:369-373): it
+    # builds the alternation in config order and its comment claims
+    # "regex matches longest first", which is FALSE for Python re
+    # (alternation is first-match) — a config ordered ['=', '=='] would
+    # tokenize '==A' there as '=' then '=A'. We implement the
+    # documented *intent*: explicit longest-first ordering, so '=='
+    # always wins over '='. Identical behavior for every shipped config
+    # (all single-char separators); pinned by
+    # tests/test_tagparse.py::test_overlapping_separators_*.
     ordered = sorted(separators, key=len, reverse=True)
     return re.compile("|".join(re.escape(s) for s in ordered))
 

@@ -241,6 +241,43 @@ def embedding_cosine(a: Column, b: Column) -> Column:
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """The PRODUCTION embedding near-dup path: hyperplane-LSH buckets
+    both sides, candidate pairs come from a bucket equi-join (shuffles
+    only (id, bucket)), exact cosine verifies. No all-pairs product
+    anywhere — at 100 TB the join is key-local per bucket.
+
+    Recall < 1 by construction (near-identical vectors land in the
+    same bucket with prob (1 - theta/pi)^planes); raise recall with
+    multi-probe (flip one bucket bit) or more tables."""
+    from .similarity import lsh_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
+    base = base.persist()  # bucket expr is an interpreted fold; joined twice
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            embedding_cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, max_ids: int = 200
 ) -> DataFrame:

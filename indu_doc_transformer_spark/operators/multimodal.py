@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (image/audio codecs are not in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic md5-based feature vector
-stands in. The Spark-side plumbing — schemas, Arrow batch shape,
-``mapInPandas`` signature, partitioning — is real and tested; swapping
-in PIL/ffmpeg later only changes the inner function.
+``decode_image`` REALLY decodes 24-bit uncompressed BMP (pure Python —
+no codec dependency) and yields deterministic pixel-statistics
+features; a corrupt payload raises and becomes ``decode_ok=False``.
+Audio/video decode stays STUBBED (ffmpeg is not in this container):
+NotImplementedError unless ``fake=True``, in which case a
+deterministic md5-based feature vector stands in. The Spark-side
+plumbing — schemas, Arrow batch shape, ``mapInPandas`` signature,
+partitioning — is identical for real and stubbed codecs.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -30,33 +33,104 @@ FEATURES_SCHEMA = (
 )
 
 
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (synthetic corpus + tests).
+    ``pixel_fn(x, y) -> (r, g, b)``."""
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b & 255, g & 255, r & 255))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    return header + dib + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Pure-Python 24-bit uncompressed BMP parser. Returns
+    (width, height, [mean_r, mean_g, mean_b, mean_luma]) in 0..1.
+    Raises ValueError on anything malformed."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError("unsupported DIB header")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    if width <= 0 or height == 0:
+        raise ValueError("invalid dimensions")
+    flipped = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if data_offset + stride * height > len(payload):
+        raise ValueError("truncated pixel data")
+    tot = [0, 0, 0]
+    for y in range(height):
+        base = data_offset + y * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            tot[0] += r
+            tot[1] += g
+            tot[2] += b
+    n = width * height * 255.0
+    mr, mg, mb = tot[0] / n, tot[1] / n, tot[2] / n
+    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+    _ = planes, flipped
+    return width, height, [mr, mg, mb, luma]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real decode needs an image codec (not in this container).
+    """FEATURE_DIM floats from a real BMP decode: (w/4096, h/4096,
+    mean RGB, luma, aspect, fill). A non-BMP payload falls back to the
+    deterministic md5 fake when ``fake=True`` (stand-in for other
+    codecs), else raises."""
+    try:
+        w, h, rgb_luma = decode_bmp(bytes(payload))
+        return [
+            min(w / 4096.0, 1.0),
+            min(h / 4096.0, 1.0),
+            *rgb_luma,
+            min(w / max(h, 1), 8.0) / 8.0,
+            1.0,
+        ]
+    except ValueError:
+        if bytes(payload)[:2] == b"BM":
+            raise  # corrupt BMP: a real decode failure, not another codec
+        if not fake:
+            raise NotImplementedError(
+                "non-BMP image decode requires PIL/opencv; run with fake=True"
+            )
+        h_ = hashlib.md5(payload).digest()
+        return [h_[i] / 255.0 for i in range(FEATURE_DIM)]
 
-    The deterministic fake derives FEATURE_DIM floats from md5(payload)
-    so the distributed plumbing is fully testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; run with fake=True in this environment"
-        )
-    h = hashlib.md5(payload).digest()
-    return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
-
-def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synth_media_df(spark, n: int = 64, corrupt_every: int = 0) -> DataFrame:
+    """Deterministic media table: image rows carry REAL 24-bit BMP
+    payloads (gradient pattern seeded by id); audio/video carry opaque
+    bytes for the stub path. ``corrupt_every`` > 0 plants truncated
+    BMPs at that interval to exercise decode_ok=False."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.md5(f"media:{i}".encode()).digest() * 4
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                (64 + i % 8, 64, 16000 if kind == "audio" else None, 1000 + i),
+        if kind == "image":
+            w, h = 8 + i % 8, 8
+            payload = encode_bmp(
+                w, h, lambda x, y, i=i: ((x * 31 + i) % 256, (y * 17 + i) % 256, i % 256)
             )
-        )
+            if corrupt_every and i % corrupt_every == 0:
+                payload = payload[: len(payload) // 2]  # truncated pixel data
+            meta = (w, h, None, None)
+        else:
+            payload = hashlib.md5(f"media:{i}".encode()).digest() * 4
+            meta = (None, None, 16000 if kind == "audio" else None, 1000 + i)
+        rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
@@ -75,7 +149,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 try:
                     feats.append(decode_image(bytes(payload), fake=fake))
                     ok.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # stubbed codec or corrupt payload: a per-row
+                    # failure row, never a task failure
                     feats.append([0.0] * FEATURE_DIM)
                     ok.append(False)
             yield pd.DataFrame(

@@ -76,9 +76,16 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Bucketed ANN: equi-join on the hyperplane bucket, exact cosine
     re-rank within the bucket. Recall < 1 by construction (approximate);
-    at scale add multi-probe by flipping bucket bits."""
+    at scale add multi-probe by flipping bucket bits.
+
+    ``dim`` is required: Spark array columns carry no length in the
+    schema, and inferring it with ``df.first()`` would trigger a job at
+    plan-build time (a hidden driver-side action)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "pass dim explicitly (array columns carry no length in the schema; "
+            "inferring it would run a job at plan-build time)"
+        )
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     base = base.withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
     probes = base.where(F.col("vec_id").isin(probe_ids)).select(

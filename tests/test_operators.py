@@ -110,22 +110,57 @@ def test_multimodal_plumbing(spark):
     feats = mm.extract_features(media, fake=True).collect()
     assert len(feats) == 24
     assert all(len(r.feature) == mm.FEATURE_DIM and r.decode_ok for r in feats)
-    # deterministic fake features
-    h = hashlib.md5(hashlib.md5(b"media:0").digest() * 4).digest()
-    f0 = [h[i] / 255.0 for i in range(mm.FEATURE_DIM)]
-    got = next(r.feature for r in feats if r.media_id == 0)
-    assert [round(x, 6) for x in got] == [round(x, 6) for x in f0]
+    # image rows go through the REAL BMP decode: feature = pixel stats
+    img = next(r.feature for r in feats if r.media_id == 0)
+    w, h, rgb_luma = mm.decode_bmp(
+        mm.encode_bmp(8, 8, lambda x, y: ((x * 31) % 256, (y * 17) % 256, 0))
+    )
+    assert (w, h) == (8, 8)
+    # feature column is float32: compare with float tolerance
+    assert img[2:6] == pytest.approx(rgb_luma, rel=1e-5)
+    # audio rows fall back to the deterministic md5 stand-in
+    ha = hashlib.md5(hashlib.md5(b"media:1").digest() * 4).digest()
+    fa = [ha[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    got = next(r.feature for r in feats if r.media_id == 1)
+    assert list(got) == pytest.approx(fa, rel=1e-5)
+
+
+def test_bmp_roundtrip_exact():
+    """Solid-color BMP decodes to exact channel means."""
+    payload = mm.encode_bmp(5, 3, lambda x, y: (200, 100, 50))
+    w, h, (mr, mg, mb, luma) = mm.decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert (round(mr, 6), round(mg, 6), round(mb, 6)) == (
+        round(200 / 255, 6),
+        round(100 / 255, 6),
+        round(50 / 255, 6),
+    )
+    assert round(luma, 6) == round(0.299 * mr + 0.587 * mg + 0.114 * mb, 6)
+
+
+def test_multimodal_corrupt_payload_decode_ok_false(spark):
+    """Planted truncated BMPs become decode_ok=False rows, never task
+    failures."""
+    media = mm.synth_media_df(spark, 24, corrupt_every=6)
+    feats = mm.extract_features(media, fake=True).collect()
+    corrupt = {r.media_id for r in feats if not r.decode_ok}
+    # image ids are multiples of 3; corrupted where id % 6 == 0
+    assert corrupt == {i for i in range(24) if i % 3 == 0 and i % 6 == 0}
+    assert all(r.decode_ok for r in feats if r.media_id not in corrupt)
 
 
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"xx", fake=False)
+    with pytest.raises(ValueError):
+        # a corrupt BMP raises even with fake=True (real decode failure)
+        mm.decode_image(mm.encode_bmp(4, 4, lambda x, y: (1, 2, 3))[:20], fake=True)
 
 
 def test_multimodal_resize_and_frames(spark):
     media = mm.synth_media_df(spark, 12)
-    rs = mm.resize_meta(media, 32).collect()
-    assert all(r.new_width <= 32 and r.new_height <= 32 for r in rs)
+    rs = mm.resize_meta(media.where("kind = 'image'"), 32).collect()
+    assert rs and all(r.new_width <= 32 and r.new_height <= 32 for r in rs)
     frames = mm.frame_sample_plan(media, 500)
     assert frames.count() > 0
 

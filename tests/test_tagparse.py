@@ -52,6 +52,23 @@ class TestTryParseTag:
             "+": ("D",),
         }
 
+    def test_overlapping_separators_short_first_config(self):
+        """Pins the DELIBERATE divergence (kernels/tagparse._sep_pattern):
+        with a config listing '=' BEFORE '==', the reference's
+        config-order re alternation would tokenize '==A' as '=' then
+        '=A' (its 'longest first' comment is false for Python re); we
+        always match longest-first regardless of config order."""
+        cfg = AspectsConfig.from_list(
+            [
+                {"Separator": "=", "Aspect": "P"},
+                {"Separator": "==", "Aspect": "L"},
+            ]
+        )
+        assert tp.try_parse_tag("==A=B", tuple(cfg.separators)) == {
+            "==": ("A",),
+            "=": ("B",),
+        }
+
 
 class TestTagParts:
     def test_pin_stripped_and_parts(self):
