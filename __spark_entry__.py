@@ -82,7 +82,10 @@ def _entities(spark: SparkSession, sf_dir: str):
 
     key = (spark.sparkContext.applicationId, sf_dir, "entities")
     if key not in _CACHE:
-        _CACHE[key] = asm.assemble(ex.rows_table(_extracted(spark, sf_dir)))
+        tables = asm.assemble(ex.rows_table(_extracted(spark, sf_dir)))
+        # many x_ queries re-read the same entity tables (search/AML/
+        # aspect-tree all join xtargets+attributes+links): persist them
+        _CACHE[key] = {name: df.persist() for name, df in tables.items()}
     return _CACHE[key]
 
 

@@ -582,7 +582,15 @@ class Assembler:
             # re-run Catalyst analysis over them; truncating the lineage
             # here makes all 9 output plans small. At warehouse scale
             # the equivalent is writing the requests stage table.
-            reqs = reqs.localCheckpoint(eager=True)
+            #
+            # coalesce first: the 9-branch union carries 9x the scan
+            # partitions, the checkpointed RDD freezes that count, and
+            # finisher plans scan reqs up to 7x per stage — without the
+            # coalesce a single count ran 2016 sub-millisecond tasks
+            # (pure scheduler overhead, measured 44-58s per output at
+            # sf0.01). Narrow dependency, no shuffle.
+            n = rows.sparkSession.sparkContext.defaultParallelism
+            reqs = reqs.coalesce(n).localCheckpoint(eager=True)
         return self.finish(reqs, persist=persist)
 
     def finish(self, reqs: DataFrame, persist: bool = True) -> dict[str, DataFrame]:
@@ -771,6 +779,11 @@ class Assembler:
             F.min(F.struct("url", "page_no")).alias("at")
         )
         distinct_tags = distinct_tags.withColumn("parts", self.tag_parts(F.col("tag")))
+        if persist:
+            # tiny (one row per unique tag) but feeds 4 outputs, and a
+            # filter on the pandas-UDF output column would otherwise
+            # duplicate the whole aggregate+UDF subtree per consumer
+            distinct_tags = distinct_tags.persist()
         invalid_errors = distinct_tags.where(F.size("parts") == 0).select(
             F.col("at.url").alias("url"),
             F.col("at.page_no").alias("page_no"),
