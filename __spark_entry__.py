@@ -662,6 +662,16 @@ def q_ann_bruteforce(spark, sf_dir):
     return sim.ann_bruteforce_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse-quantize to the nearest of 8 deterministic
+    centroid cells, probe the 2 nearest cells, exact cosine re-rank.
+    At 100 TB the table partitions by cell -> partition-pruned probes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(
+        emb, "vec_id", "embedding", [0, 1, 2], k=5, num_cells=8, nprobe=2
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.8, 100)
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         # assembly finisher oracled end-to-end over the staged requests
@@ -1032,6 +1043,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
+        """,
+        # IVF ANN: centroids = first 8 vectors (deterministic codebook
+        # stand-in); assignment + probe-cell ranking by (cos DESC, cell
+        # DESC) exactly matches Spark's reverse(array_sort) tie-break
+        "q_ann_ivf": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            cents AS (
+              SELECT cast(vec_id as int) AS cell, v AS cv FROM base WHERE vec_id < 8
+            ),
+            sims AS (
+              SELECT b.vec_id, b.v, c.cell, {_cos("c.cv", "b.v")} AS sim
+              FROM base b CROSS JOIN cents c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell DESC) AS rn
+              FROM sims
+            ),
+            assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+            pcells AS (
+              SELECT vec_id AS probe_id, v AS pv, cell AS pcell
+              FROM ranked WHERE rn <= 2 AND vec_id IN (0,1,2)
+            ),
+            scored AS (
+              SELECT probe_id, a.vec_id AS vec_id, {_cos("pv", "a.v")} AS cos_sim
+              FROM assigned a JOIN pcells p
+                ON a.cell = p.pcell AND a.vec_id != p.probe_id
+            )
+            SELECT probe_id, vec_id, cos_sim, rank FROM (
+              SELECT probe_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
         """,
         # production embedding near-dup: same hyperplane bucket formula
         # as x_ann_lsh, bucket self-join, exact cosine verify

@@ -3,10 +3,16 @@
 - ``ann_bruteforce_topk``: exact cosine top-k per probe. The probe set
   is small and broadcast; candidates stream map-side; the only shuffle
   is the per-probe top-k window. This is the correctness baseline.
-- ``ann_lsh_topk``: the scale path — deterministic random-hyperplane
+- ``ann_lsh_topk``: a scale path — deterministic random-hyperplane
   LSH buckets both sides, candidates are generated per (probe, bucket)
   equi-join, then exact cosine re-ranks. At 100 TB the bucket join
   replaces the probes x corpus product with a key-local join.
+- ``ann_ivf_topk``: the other scale path — IVF: a small coarse
+  quantizer (centroid set, broadcast) assigns every vector to its
+  nearest cell map-side; probes search only their ``nprobe`` nearest
+  cells via a cell equi-join, then exact cosine re-ranks. At 100 TB
+  the table is written partitioned by cell so a probe reads only its
+  cells (partition pruning instead of a full scan).
 """
 
 from __future__ import annotations
@@ -96,5 +102,73 @@ def ann_lsh_topk(
     scored = base.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")),
+    ).withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
+    return _topk(scored, k)
+
+
+def nearest_cells(v_col: str, centroids: DataFrame, n: int) -> Column:
+    """Ids of the ``n`` centroids nearest (by cosine) to column
+    ``v_col``. The centroid set is tiny and inlined as literal arrays
+    in ONE generated SQL expression (a Column-API build would make
+    thousands of py4j calls) — evaluation is map-side, no join, no
+    shuffle. Tie-break: (sim DESC, cell DESC), from
+    reverse(array_sort(struct(sim, cell)))."""
+    rows = centroids.collect()  # bounded: the coarse quantizer is small
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(sequence(1, size({a})), cast(0.0 as double), "
+            f"(acc, i) -> acc + cast(element_at({a}, i) as double)"
+            f" * cast(element_at({b}, i) as double))"
+        )
+
+    def cos(cv: str) -> str:
+        return (
+            f"round({dot(cv, v_col)} / (sqrt({dot(cv, cv)}) * "
+            f"sqrt({dot(v_col, v_col)})), 6)"
+        )
+
+    structs = []
+    for r in rows:
+        cv = "array(" + ",".join(f"cast({float(x)!r} as double)" for x in r.cv) + ")"
+        structs.append(f"struct({cos(cv)} AS sim, {int(r.cell)} AS cell)")
+    cells = "array(" + ",".join(structs) + ")"
+    return F.expr(
+        f"transform(slice(reverse(array_sort({cells})), 1, {n}), c -> c.cell)"
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    cell (centroids = the first ``num_cells`` vectors by id — a
+    deterministic stand-in for a trained k-means codebook, which would
+    be fit offline and broadcast the same way), then probes search only
+    their ``nprobe`` nearest cells. Returns (probe_id, vec_id, cos_sim,
+    rank)."""
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    centroids = (
+        base.where(F.col("vec_id") < num_cells)
+        .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv"))
+        .orderBy("cell")
+    )
+    assigned = base.withColumn(
+        "cell", F.element_at(nearest_cells("v", centroids, 1), 1)
+    ).persist()  # the centroid-distance expr is heavy; joined twice
+    probes = assigned.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.explode(nearest_cells("v", centroids, nprobe)).alias("pcell"),
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("probe_id")),
     ).withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
     return _topk(scored, k)

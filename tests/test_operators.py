@@ -105,6 +105,37 @@ def test_ann_lsh_subset_of_bruteforce_space(spark):
     assert len(rows) >= 1  # same-bucket neighbors exist with 2 planes
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    """With nprobe == num_cells every cell is searched, so IVF must
+    return exactly the brute-force top-k (the approximation comes only
+    from probing fewer cells)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    bf = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in sim.ann_bruteforce_topk(df, "vec_id", "embedding", [0, 1], k=3).collect()
+    }
+    ivf = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in sim.ann_ivf_topk(
+            df, "vec_id", "embedding", [0, 1], k=3, num_cells=4, nprobe=4
+        ).collect()
+    }
+    assert ivf == bf and len(ivf) == 6
+    # restricted probing returns a subset of valid neighbors
+    part = sim.ann_ivf_topk(
+        df, "vec_id", "embedding", [0, 1], k=3, num_cells=4, nprobe=1
+    ).collect()
+    assert all(r.probe_id in (0, 1) and r.rank <= 3 for r in part)
+    assert part
+
+
 def test_multimodal_plumbing(spark):
     media = mm.synth_media_df(spark, 24)
     feats = mm.extract_features(media, fake=True).collect()
@@ -183,6 +214,63 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     rows = spark.sql("select * from metrics_test").collect()
     assert sum(r.docs for r in rows) == 40
     assert any(r.page_type is not None and r.rows > 0 for r in rows)
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    gap sessionization over the events stream. Sessions closed by a
+    later event must match the batch computation exactly; every
+    emitted session respects the gap rule."""
+    from indu_doc_transformer_spark.streaming.stream import stream_sessionize
+
+    # file streams need a directory source
+    src = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    out = stream_sessionize(spark, src, gap_seconds=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("select * from sess_test").collect()
+    }
+
+    # batch expectation: per-user sorted event times, gap > 300s splits
+    import collections
+
+    from datetime import timezone
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        # ts is TIMESTAMP_NTZ (naive); the session tz is UTC
+        by_user[r.user_id].append(
+            int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        )
+    closed, trailing = set(), set()
+    for uid, ts in by_user.items():
+        ts.sort()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > 300_000_000:
+                closed.add((uid, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        trailing.add((uid, start, last, n))
+    assert got >= closed  # all closed-by-later-event sessions emitted
+    assert got <= closed | trailing  # nothing else
+    assert len(closed) > 0
 
 
 def test_streaming_extract_incremental(spark, tmp_path):
