@@ -132,14 +132,50 @@ def _requests_parquet(spark, sf_dir) -> str:
 
         asm.Assembler().requests_table(
             ex.rows_table(_extracted(spark, sf_dir))
-        ).select(
-            "url", "page_no", "kind", "raw_tag", "raw_tag_c", "target_type",
-            "through_tag", "through_tag_c", "src_tag", "src_tag_c",
-            "dst_tag", "dst_tag_c", "src_pin_tag", "src_pin_tag_c",
-            "dst_pin_tag", "dst_pin_tag_c",
         ).write.mode("overwrite").parquet(path)
         _CACHE[key] = path
     return path
+
+
+def _finisher_table(spark, sf_dir, table: str) -> DataFrame:
+    """Run the God-merge finisher over the read-back staged requests —
+    the same parquet the DuckDB oracle reads."""
+    from indu_doc_transformer_spark.operators import assembly as asm
+
+    reqs = spark.read.parquet(_requests_parquet(spark, sf_dir))
+    return asm.Assembler().finish(reqs, persist=False)[table]
+
+
+def q_connections_from_rows(spark, sf_dir):
+    """A7/A8 oracled end-to-end: connection entities (guid = the
+    reference's char-exploded CONN hash over role GUIDs) from the
+    staged requests on BOTH engines."""
+    return _finisher_table(spark, sf_dir, "connections")
+
+
+def q_links_from_rows(spark, sf_dir):
+    """A8/A6: link entities (LINK hash over name/pins/parent)."""
+    return _finisher_table(spark, sf_dir, "links")
+
+
+def q_lineage_from_rows(spark, sf_dir):
+    """A10/J5: the page<->object lineage relation (xtargets,
+    connections, links) distinct over pages."""
+    return _finisher_table(spark, sf_dir, "lineage")
+
+
+def q_attributes_from_rows(spark, sf_dir):
+    """A1: the deduplicated attribute registry (SIMPLE / ROUTING_TRACKS
+    / PLC_ADDRESS / PDF_LOCATION) from the staged request attr arrays."""
+    return _finisher_table(spark, sf_dir, "attributes")
+
+
+def q_pins_from_rows(spark, sf_dir):
+    """A5: pin-chain entities with recursively defined GUIDs (child
+    hashed into parent), unrolled to 4 levels in the SQL oracle (the
+    corpus max depth is 2; deeper chains would fail the row-count
+    check loudly rather than silently truncate)."""
+    return _finisher_table(spark, sf_dir, "pins")
 
 
 def q_xtargets_from_rows(spark, sf_dir):
@@ -740,8 +776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
-        # assembly finisher oracled end-to-end over the staged requests
+        # assembly finishers oracled end-to-end over the staged requests
         "q_xtargets_from_rows": q_xtargets_from_rows,
+        "q_connections_from_rows": q_connections_from_rows,
+        "q_links_from_rows": q_links_from_rows,
+        "q_pins_from_rows": q_pins_from_rows,
+        "q_attributes_from_rows": q_attributes_from_rows,
+        "q_lineage_from_rows": q_lineage_from_rows,
         # extraction pipeline (kernel-based; rows-only check)
         "x_extract_text": x_extract_text,
         "x_spans": x_spans,
@@ -784,6 +825,122 @@ def _cos(a: str, b: str) -> str:
         f"round({_DOT.format(a=a, b=b)} / "
         f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
     )
+
+
+def _charjoin(x: str) -> str:
+    """':'.join(characters) — RE2 has no lookbehind, so char-split via
+    regexp_extract_all (the reference's list += str GUID quirk)."""
+    return f"array_to_string(regexp_extract_all({x}, '.'), ':')"
+
+
+def _guarded_md5(x: str) -> str:
+    """NULL-propagating md5-uuid: DuckDB concat() SKIPS null arguments
+    (unlike Spark's), so a bare _sql_md5_uuid(NULL) would yield '----'."""
+    return f"CASE WHEN {x} IS NULL THEN NULL ELSE {_sql_md5_uuid(x)} END"
+
+
+# shared finisher CTE over the staged requests parquet (see
+# q_xtargets_from_rows): reproduces pin splitting, guards, completed
+# tags, and the reference's char-exploded CONN/LINK hashes in SQL
+def _split(col: str, part: str) -> str:
+    if part == "tag":
+        return (
+            f"CASE WHEN strpos({col}, ':') > 0 "
+            f"THEN substr({col}, 1, strpos({col}, ':') - 1) ELSE {col} END"
+        )
+    return (
+        f"CASE WHEN strpos({col}, ':') > 0 "
+        f"THEN substr({col}, strpos({col}, ':')) ELSE NULL END"
+    )
+
+
+def _pin_guid_sql(name: str, child: str) -> str:
+    """connection.py:93-106 pin GUID: PIN:name:chars(role):chars(child
+    or CHILD:None):chars(link)."""
+    child_part = (
+        "'CHILD:None'"
+        if child == "NULL"
+        else f"coalesce({_charjoin(child)}, 'CHILD:None')"
+    )
+    return _sql_md5_uuid(
+        f"concat('PIN:', {name}, ':', {_charjoin('role')}, ':', "
+        f"{child_part}, ':', {_charjoin('link_guid')})"
+    )
+
+
+_FINISHER_CTE = f"""
+    WITH reqs AS (
+      SELECT * FROM read_parquet('/tmp/indu_spark_oracle/requests_sf0.01/*.parquet')
+    ),
+    cwl0 AS (
+      SELECT url, page_no, through_tag, through_tag_c,
+             {_split('src_pin_tag', 'tag')} AS src_tag,
+             {_split('src_pin_tag', 'pin')} AS src_pin,
+             {_split('dst_pin_tag', 'tag')} AS dst_tag,
+             {_split('dst_pin_tag', 'pin')} AS dst_pin,
+             {_split('src_pin_tag_c', 'tag')} AS src_tag_c,
+             {_split('dst_pin_tag_c', 'tag')} AS dst_tag_c
+      FROM reqs WHERE kind = 'cwl'
+    ),
+    conn_all AS (
+      SELECT url, page_no,
+             CASE WHEN through_tag = '' THEN NULL ELSE through_tag END AS through_tag,
+             through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c,
+             src_pin, dst_pin, TRUE AS with_link
+      FROM cwl0
+      WHERE NOT (src_pin IS NULL OR src_pin = '' OR dst_pin IS NULL OR dst_pin = '')
+        AND NOT (src_tag = '' OR dst_tag = '')
+      UNION ALL
+      SELECT url, page_no,
+             CASE WHEN through_tag = '' THEN NULL ELSE through_tag END,
+             through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c,
+             NULL, NULL, FALSE
+      FROM reqs WHERE kind = 'conn'
+    ),
+    compl AS (
+      SELECT *,
+        CASE WHEN through_tag IS NULL OR strpos(through_tag, ':') > 0
+             THEN NULL ELSE through_tag_c END AS through_completed,
+        CASE WHEN src_tag IS NULL OR strpos(src_tag, ':') > 0
+             THEN NULL ELSE src_tag_c END AS src_completed,
+        CASE WHEN dst_tag IS NULL OR strpos(dst_tag, ':') > 0
+             THEN NULL ELSE dst_tag_c END AS dst_completed
+      FROM conn_all
+    ),
+    role_guids AS (
+      SELECT *,
+        {_guarded_md5('through_completed')} AS through_guid,
+        {_guarded_md5('src_completed')} AS src_guid,
+        {_guarded_md5('dst_completed')} AS dst_guid
+      FROM compl
+    ),
+    conn AS (
+      SELECT *,
+        {_sql_md5_uuid(
+            "concat('CONN:', "
+            "CASE WHEN src_guid IS NULL THEN 'SRC:None' ELSE " + _charjoin('src_guid') + " END, ':', "
+            "CASE WHEN dst_guid IS NULL THEN 'DEST:None' ELSE " + _charjoin('dst_guid') + " END, ':', "
+            "CASE WHEN through_guid IS NULL THEN 'THROUGH:None' ELSE " + _charjoin('through_guid') + " END)"
+        )} AS conn_guid
+      FROM role_guids
+    ),
+    linked AS (
+      SELECT *, coalesce(through_tag, 'virtual_link') AS link_name
+      FROM conn WHERE with_link
+    ),
+    link_g AS (
+      SELECT *,
+        {_sql_md5_uuid(
+            "concat('LINK:', link_name, ':', "
+            "CASE WHEN src_pin IS NULL OR src_pin = '' THEN 'SRC:None' ELSE "
+            + _charjoin("concat('SRC:', src_pin)") + " END, ':', "
+            "CASE WHEN dst_pin IS NULL OR dst_pin = '' THEN 'DEST:None' ELSE "
+            + _charjoin("concat('DEST:', dst_pin)") + " END, ':', "
+            + _charjoin('conn_guid') + ")"
+        )} AS link_guid
+      FROM linked
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1043,6 +1200,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
+        """,
+        "q_connections_from_rows": _FINISHER_CTE
+        + """
+            SELECT DISTINCT conn_guid AS guid, src_guid, dst_guid, through_guid
+            FROM conn
+        """,
+        "q_links_from_rows": _FINISHER_CTE
+        + """
+            SELECT DISTINCT link_guid AS guid, link_name AS name,
+                   conn_guid AS connection_guid,
+                   src_pin AS src_pin_name, dst_pin AS dest_pin_name
+            FROM link_g
+        """,
+        "q_attributes_from_rows": _FINISHER_CTE
+        + """
+            SELECT DISTINCT a.guid AS guid, a.name AS name,
+                   a.type AS type, a.value_json AS value_json
+            FROM (
+              SELECT unnest(attrs) AS a FROM reqs
+              UNION ALL SELECT unnest(link_attrs) FROM reqs
+              UNION ALL SELECT unnest(through_attrs) FROM reqs
+              UNION ALL SELECT unnest(loc_attrs) FROM reqs
+            )
+        """,
+        "q_pins_from_rows": _FINISHER_CTE
+        + f"""
+            , sides AS (
+              SELECT link_guid, 'src' AS role,
+                     list_slice(regexp_split_to_array(src_pin, ':'), 2, 100000) AS names
+              FROM link_g
+              UNION ALL
+              SELECT link_guid, 'dst',
+                     list_slice(regexp_split_to_array(dst_pin, ':'), 2, 100000)
+              FROM link_g
+            ),
+            lv1 AS (
+              SELECT link_guid, role, names, len(names) AS k,
+                     {_pin_guid_sql('names[len(names)]', 'NULL')} AS g1
+              FROM sides WHERE len(names) >= 1
+            ),
+            lv2 AS (SELECT *, CASE WHEN k >= 2 THEN {_pin_guid_sql('names[k-1]', 'g1')} END AS g2 FROM lv1),
+            lv3 AS (SELECT *, CASE WHEN k >= 3 THEN {_pin_guid_sql('names[k-2]', 'g2')} END AS g3 FROM lv2),
+            lv4 AS (SELECT *, CASE WHEN k >= 4 THEN {_pin_guid_sql('names[k-3]', 'g3')} END AS g4 FROM lv3)
+            SELECT DISTINCT guid, name, role, child_guid, link_guid FROM (
+              SELECT g1 AS guid, names[k] AS name, role, CAST(NULL AS VARCHAR) AS child_guid, link_guid FROM lv4 WHERE k >= 1
+              UNION ALL
+              SELECT g2, names[k-1], role, g1, link_guid FROM lv4 WHERE k >= 2
+              UNION ALL
+              SELECT g3, names[k-2], role, g2, link_guid FROM lv4 WHERE k >= 3
+              UNION ALL
+              SELECT g4, names[k-3], role, g3, link_guid FROM lv4 WHERE k >= 4
+            )
+        """,
+        "q_lineage_from_rows": _FINISHER_CTE
+        + f"""
+            , xreq_x AS (
+              SELECT url, page_no,
+                     CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
+                          THEN NULL ELSE raw_tag_c END AS completed
+              FROM reqs WHERE kind = 'xreq'
+            )
+            SELECT DISTINCT url, page_no, object_guid, object_type FROM (
+              SELECT url, page_no, {_sql_md5_uuid('completed')} AS object_guid,
+                     'xtarget' AS object_type
+              FROM xreq_x WHERE completed IS NOT NULL
+              UNION ALL
+              SELECT url, page_no, through_guid, 'xtarget' FROM role_guids
+              WHERE through_guid IS NOT NULL
+              UNION ALL
+              SELECT url, page_no, src_guid, 'xtarget' FROM role_guids
+              WHERE src_guid IS NOT NULL
+              UNION ALL
+              SELECT url, page_no, dst_guid, 'xtarget' FROM role_guids
+              WHERE dst_guid IS NOT NULL
+              UNION ALL
+              SELECT url, page_no, conn_guid, 'connection' FROM conn
+              UNION ALL
+              SELECT url, page_no, link_guid, 'link' FROM link_g
+            )
         """,
         # IVF ANN: centroids = first 8 vectors (deterministic codebook
         # stand-in); assignment + probe-cell ranking by (cos DESC, cell
