@@ -55,7 +55,11 @@ class Filter:
 
 def run_parser(query: str) -> tuple[str | None, list[Filter]]:
     """Parse 'TAG @a.b(p)=v ...'; parenthesized values '=(v)' accepted
-    (lark_parser.py:54,140-148: empty '()' yields the empty string)."""
+    (lark_parser.py:54,140-148: empty '()' yields the empty string).
+
+    Param rule (lark_parser.py:118-138 dotted_name transformer): with
+    no '(param)', the LAST dotted component becomes the param —
+    '@src.tag=x' parses as path=['src'], param='tag'."""
     query = query.strip()
     tag = None
     m = _TAGWORD.match(query)
@@ -70,7 +74,12 @@ def run_parser(query: str) -> tuple[str | None, list[Filter]]:
             value = f.group("value").strip()
         else:
             value = None
-        filters.append(Filter(f.group("path").split("."), f.group("param"), value))
+        path = f.group("path").split(".")
+        param = f.group("param")
+        if param is None and len(path) > 1:
+            param = path[-1]
+            path = path[:-1]
+        filters.append(Filter(path, param, value))
     return tag, filters
 
 

@@ -25,10 +25,57 @@ class TestParser:
     def test_dotted_path(self):
         _, fs = run_parser("@links.attributes(color)=red")
         assert fs[0].dotted_path == ["links", "attributes"]
+        assert fs[0].dotted_param == "color"
 
     def test_no_value(self):
         _, fs = run_parser("@attributes(Color)")
         assert fs[0].value is None
+
+    def test_last_component_becomes_param(self):
+        """lark_parser.py:118-138: no '(param)' -> last dotted component
+        is the param."""
+        _, fs = run_parser("@src.tag=E+A1-x")
+        assert fs[0].dotted_path == ["src"]
+        assert fs[0].dotted_param == "tag"
+        assert fs[0].value == "E+A1-x"
+        _, fs = run_parser("@level1.level2.level3.level4=value")
+        assert fs[0].dotted_path == ["level1", "level2", "level3"]
+        assert fs[0].dotted_param == "level4"
+
+    def test_reference_parser_battery(self):
+        """Ports the behavioral cases from
+        /root/reference/tests/test_lark_parser.py."""
+        tag, fs = run_parser("=E+A1 @guid")
+        assert tag == "=E+A1" and fs[0].dotted_path == ["guid"]
+        assert fs[0].dotted_param is None and fs[0].value is None
+
+        _, fs = run_parser("@formula=a=b+c")
+        assert fs[0].value == "a=b+c"
+
+        _, fs = run_parser("@links.attributes(wire strong 2)= rew ks")
+        assert fs[0].dotted_param == "wire strong 2"
+        assert fs[0].value == "rew ks"
+
+        _, fs = run_parser("@desc=hello   world")
+        assert fs[0].value == "hello   world"
+
+        _, fs = run_parser("@page=4 @guid=abc @src=E1")
+        assert [f.dotted_path for f in fs] == [["page"], ["guid"], ["src"]]
+        assert [f.value for f in fs] == ["4", "abc", "E1"]
+
+        tag, fs = run_parser(
+            "=E+A1-x @src.tag==E+A1-x @links.part-number=LLAP @page=4 @links.srcpin=43"
+        )
+        assert tag == "=E+A1-x" and len(fs) == 4
+        assert fs[0].dotted_path == ["src"] and fs[0].dotted_param == "tag"
+        assert fs[0].value == "=E+A1-x"
+        assert fs[1].dotted_path == ["links"] and fs[1].dotted_param == "part-number"
+
+        tag, fs = run_parser("   \n  \t  ")
+        assert tag is None and fs == []
+
+        _, fs = run_parser("@a @b @c")
+        assert len(fs) == 3
 
     def test_parenthesized_value(self):
         """lark_parser.py:54 value := '(' VALUE_TEXT? ')'."""
