@@ -450,6 +450,30 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (an operator Spark lacks natively): for each
+    click, the most recent prior-or-simultaneous view's value per user.
+    One union + one window pass — no range self-join (skew-safe at
+    100 TB). DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from indu_doc_transformer_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    # dedupe right timestamps so the as-of pick is well-defined on both
+    # engines (ASOF is ambiguous across duplicate right keys)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    out = as_of_join(clicks, views, "user_id", "us", "us", ["view_value"])
+    return out.select("event_id", "user_id", F.col("view_value_asof"))
+
+
 def q_top_customers_per_nation(spark, sf_dir):
     """W3: row_number ordering (persisted sort_order analog)."""
     c = _t(spark, sf_dir, "customer")
@@ -748,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_volume": q_region_volume,
         "q_forward_fill": q_forward_fill,
         "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
         "q_top_customers_per_nation": q_top_customers_per_nation,
         "q_rollup": q_rollup,
         "q_link_graph": q_link_graph,
@@ -989,6 +1014,19 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
             FROM f
+        """,
+        "q_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, epoch_us(ts) AS us, round(max(value), 6) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            )
+            SELECT c.event_id, c.user_id, v.view_value AS view_value_asof
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.us >= v.us
         """,
         "q_top_customers_per_nation": """
             SELECT c_nationkey, c_custkey, rn FROM (

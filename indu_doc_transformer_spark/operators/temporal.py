@@ -1,0 +1,61 @@
+"""Temporal joins Spark lacks as built-ins, expressed with one window
+pass instead of a range self-join.
+
+``as_of_join``: for every left row, the most recent right row with
+``right_ts <= left_ts`` within the key — the classic backward
+merge-as-of. The naive formulation is a range join (left x right per
+key, quadratic in hot keys); this one UNIONs the two sides, sorts once
+per key, and forward-fills the right payload — one shuffle on the key,
+linear work, skew-safe (a hot key costs one sorted partition, not a
+quadratic blow-up). DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join (right_ts <= left_ts, ties include the
+    right row). Returns every left row plus the latest right payload
+    columns (null when no prior right row exists — LEFT ASOF
+    semantics)."""
+    lcols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in r.columns:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    u = l.unionByName(r.select(*l.columns))
+    # right rows sort BEFORE left rows at equal ts, so ties are visible
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return out.where(F.col("_side") == 1).drop("_side")

@@ -105,6 +105,26 @@ def test_ann_lsh_subset_of_bruteforce_space(spark):
     assert len(rows) >= 1  # same-bucket neighbors exist with 2 planes
 
 
+def test_as_of_join_semantics(spark):
+    """Backward as-of: latest right_ts <= left_ts per key; ties take
+    the simultaneous right row; no prior row -> null (LEFT ASOF)."""
+    from indu_doc_transformer_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 100)],
+        "id bigint, k string, ts bigint",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("c", 1, 9.0)],
+        "k string, ts bigint, v double",
+    )
+    out = {
+        r.id: r.v_asof
+        for r in as_of_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     """With nprobe == num_cells every cell is searched, so IVF must
     return exactly the brute-force top-k (the approximation comes only
