@@ -474,6 +474,27 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("view_value_asof"))
 
 
+def q_range_join(spark, sf_dir):
+    """Interval join (purchases within one hour after a click) via the
+    binned equi-join — the scale shape for time-window joins (Spark
+    would otherwise plan a nested-loop per key)."""
+    from indu_doc_transformer_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "us", F.round("value", 6).alias("value")
+    )
+    out = range_join(
+        clicks, purchases, "user_id", "us", "us", 0, 3_600_000_000, ["value"]
+    )
+    return out.select("event_id", "user_id", "us", "us_r", "value_r")
+
+
 def q_top_customers_per_nation(spark, sf_dir):
     """W3: row_number ordering (persisted sort_order analog)."""
     c = _t(spark, sf_dir, "customer")
@@ -717,6 +738,13 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: 16-bit prefix buckets -> self-equi-join
+    -> exact hamming verify (the fingerprint-side near-dup path)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs(d, "doc_id", "text", 4, 6)
+
+
 def q_ann_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ann_bruteforce_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5)
@@ -773,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forward_fill": q_forward_fill,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_top_customers_per_nation": q_top_customers_per_nation,
         "q_rollup": q_rollup,
         "q_link_graph": q_link_graph,
@@ -796,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
@@ -1028,6 +1058,18 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.us >= v.us
         """,
+        "q_range_join": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value
+              FROM events
+            )
+            SELECT c.event_id, c.user_id, c.us AS us,
+                   p.us AS us_r, round(p.value, 6) AS value_r
+            FROM (SELECT * FROM e WHERE event_type = 'click') c
+            JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.us BETWEEN c.us AND c.us + 3600000000
+        """,
         "q_top_customers_per_nation": """
             SELECT c_nationkey, c_custkey, rn FROM (
               SELECT c_nationkey, c_custkey,
@@ -1219,6 +1261,42 @@ def oracle_sql() -> dict[str, str]:
                      substr('0123456789abcdef',
                             cast(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] + 1 as int), 1)), '') AS simhash
             FROM bits
+        """,
+        "q_simhash_neardup": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_distinct(regexp_split_to_array({_NORM}, ' ')), x -> md5(x)) AS hx
+              FROM documents
+            ), bits AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0,63), p ->
+                       CASE WHEN list_sum(list_transform(hx, h ->
+                         CASE WHEN cast(floor((strpos('0123456789abcdef', substr(h, cast(floor(p/4) as int) + 1, 1)) - 1)
+                                    / power(2, 3 - (p % 4))) as int) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN 1 ELSE 0 END) AS b
+              FROM t
+            ), sh AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(generate_series(0,15), g ->
+                       substr('0123456789abcdef',
+                              cast(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] + 1 as int), 1)), '') AS simhash
+              FROM bits
+            ),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM sh a JOIN sh b
+                ON substr(a.simhash,1,4) = substr(b.simhash,1,4)
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT id_a, id_b,
+                cast(list_sum(list_transform(generate_series(1,16), i ->
+                  bit_count(xor(strpos('0123456789abcdef', substr(sa,i,1)) - 1,
+                                strpos('0123456789abcdef', substr(sb,i,1)) - 1)))) as bigint) AS hamming
+              FROM cand
+            ) WHERE hamming <= 6
         """,
         "q_ann_bruteforce": f"""
             WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),

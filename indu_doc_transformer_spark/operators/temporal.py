@@ -16,6 +16,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo: int,
+    hi: int,
+    payload_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: pairs (l, r) with the same key and
+    ``l.left_ts + lo <= r.right_ts <= l.left_ts + hi``.
+
+    Naive Spark plans an inequality join as a nested-loop product per
+    key; this BINS both sides by window-sized buckets (width = hi-lo)
+    and equi-joins on (key, bucket) with each left row probing the two
+    buckets its window can straddle, then applies the exact range
+    filter — the standard scale shape for time-window joins (shuffles
+    only (key, bucket), never a per-key product)."""
+    width = hi - lo
+    if width <= 0:
+        raise ValueError("hi must be > lo")
+    l = left.withColumn(
+        "_b",
+        F.explode(
+            F.array(
+                ((F.col(left_ts) + lo) / width).cast("long"),
+                ((F.col(left_ts) + hi) / width).cast("long"),
+            )
+        ),
+    ).dropDuplicates([*left.columns, "_b"])
+    r = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        (F.col(right_ts) / width).cast("long").alias("_b"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    )
+    j = l.join(r, (F.col(key) == F.col("_rk")) & (l["_b"] == r["_b"]))
+    return j.where(
+        (F.col("_rts") >= F.col(left_ts) + lo) & (F.col("_rts") <= F.col(left_ts) + hi)
+    ).select(*left.columns, F.col("_rts").alias(f"{right_ts}{suffix}"),
+             *[f"{c}{suffix}" for c in payload_cols])
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

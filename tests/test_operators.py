@@ -45,6 +45,36 @@ def test_minhash_lsh_finds_planted_neardup(docs):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_simhash_fast_matches_sql(spark, docs):
+    """The Arrow SimHash kernel must be bit-identical to the SQL
+    formulation (the DuckDB oracle checks the SQL one)."""
+    from pyspark.sql import functions as F
+
+    sql_side = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", dd.simhash64(F.col("text")).alias("s")).collect()
+    }
+    fast = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", dd._simhash_udf()(F.col("text")).alias("s")).collect()
+    }
+    assert sql_side == fast and len(fast) == 5
+
+
+def test_simhash_neardup_pairs(spark, docs):
+    """Prefix-bucketed candidates + exact hamming verify; every pair
+    must share the 16-bit prefix and respect the threshold."""
+    out = dd.simhash_near_dup_pairs(docs, "doc_id", "text", 4, 6).collect()
+    sh = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", dd.simhash64(docs.text).alias("s")).collect()
+    }
+    for r in out:
+        assert r.id_a < r.id_b and r.hamming <= 6
+        assert sh[r.id_a][:4] == sh[r.id_b][:4]
+    assert out
+
+
 def test_minhash_fast_matches_sql(spark, docs):
     """The Arrow kernel must be bit-identical to the SQL formulation
     (the DuckDB oracle checks the SQL one)."""
