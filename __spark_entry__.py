@@ -274,6 +274,36 @@ def x_entity_links_pins(spark, sf_dir):
     )
 
 
+def x_entity_aspects(spark, sf_dir):
+    """A3: the deduplicated aspect registry (separator, value)."""
+    return _entities(spark, sf_dir)["aspects"]
+
+
+def x_entity_object_attributes(spark, sf_dir):
+    """A1 attachments: object<->attribute relation counts per owner
+    kind (the relation itself is large; counts are a stable check)."""
+    oa = _entities(spark, sf_dir)["object_attributes"]
+    return (
+        oa.groupBy(F.substring("object_guid", 1, 1).alias("guid_prefix"))
+        .agg(F.count("*").alias("n"), F.countDistinct("attribute_guid").alias("n_attrs"))
+    )
+
+
+def x_entity_errors(spark, sf_dir):
+    """The assembly-side error channel (handler guards, invalid tags,
+    pin guards) grouped by message family."""
+    err = _entities(spark, sf_dir)["errors"]
+    family = (
+        F.when(F.col("message").startswith("Tag is invalid"), "invalid_tag")
+        .when(F.col("message").startswith("Linked connection"), "link_guard")
+        .when(F.col("message").startswith("Failed to create aspect"), "aspect")
+        .otherwise("row_skip")
+    )
+    return err.groupBy(family.alias("family"), "severity").agg(
+        F.count("*").alias("n")
+    )
+
+
 def x_metrics_errors(spark, sf_dir):
     from indu_doc_transformer_spark.operators import extraction as ex
 
@@ -845,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_entity_connections": x_entity_connections,
         "x_entity_xtarget_aspects": x_entity_xtarget_aspects,
         "x_entity_links_pins": x_entity_links_pins,
+        "x_entity_aspects": x_entity_aspects,
+        "x_entity_object_attributes": x_entity_object_attributes,
+        "x_entity_errors": x_entity_errors,
         "x_metrics_errors": x_metrics_errors,
         "x_partition_metrics": x_partition_metrics,
         "x_multimodal_features": x_multimodal_features,
