@@ -299,7 +299,6 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("sh")
     ).persist()  # the signature feeds a self-join: compute once
     a, b = base.alias("a"), base.alias("b")
-    pre = lambda side: F.substring(f"{side}.sh", 1, prefix_hex)
     return (
         a.join(
             b,
