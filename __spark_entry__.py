@@ -331,6 +331,16 @@ def x_ann_lsh(spark, sf_dir):
     return sim.ann_lsh_topk(emb, "vec_id", "embedding", [0, 1, 2], k=5, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: each probe also searches every bucket at
+    hamming distance 1 (bit flips), raising recall without extra hash
+    tables."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(
+        emb, "vec_id", "embedding", [0, 1, 2], k=5, dim=64, multiprobe=6
+    )
+
+
 def x_search_targets(spark, sf_dir):
     """F10/§3.2: query-string -> Column predicate over the entity tables."""
     from indu_doc_transformer_spark.operators import search as s_op
@@ -859,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         # assembly finishers oracled end-to-end over the staged requests
@@ -1550,6 +1561,44 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane-LSH ANN: deterministic md5-derived +-1 hyperplanes,
         # bucket equi-join, exact cosine re-rank — same formula both
         # engines (similarity.py hyperplane_sign)
+        # multi-probe LSH: probe bucket + all hamming-1 flips; same
+        # hyperplane formula as x_ann_lsh
+        "q_ann_lsh_multiprobe": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            b AS (
+              SELECT vec_id, v,
+                     array_to_string(list_transform(generate_series(0,5), p ->
+                       CASE WHEN list_sum(list_transform(generate_series(1,64), i ->
+                              cast(v[i] as double) *
+                              (CASE WHEN substr(md5(cast(p as varchar) || ':' || cast(i as varchar)), 1, 1)
+                                         IN ('0','1','2','3','4','5','6','7')
+                                    THEN 1.0 ELSE -1.0 END)))
+                            >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              FROM base
+            ),
+            probes AS (
+              SELECT vec_id AS probe_id, v AS pv, bucket AS pb
+              FROM b WHERE vec_id IN (0,1,2)
+            ),
+            pbuckets AS (
+              SELECT probe_id, pv,
+                     unnest(list_prepend(pb, list_transform(generate_series(1,6), p ->
+                       substr(pb, 1, p-1)
+                       || (CASE WHEN substr(pb, p, 1) = '1' THEN '0' ELSE '1' END)
+                       || substr(pb, p+1)))) AS pbucket
+              FROM probes
+            ),
+            scored AS (
+              SELECT DISTINCT probe_id, b.vec_id AS vec_id, {_cos("pv", "b.v")} AS cos_sim
+              FROM b JOIN pbuckets ON b.bucket = pbuckets.pbucket
+              WHERE b.vec_id != probe_id
+            )
+            SELECT probe_id, vec_id, cos_sim, rank FROM (
+              SELECT probe_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
         "x_ann_lsh": f"""
             WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
             b AS (

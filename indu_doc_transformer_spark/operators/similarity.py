@@ -79,10 +79,13 @@ def ann_lsh_topk(
     k: int = 5,
     num_planes: int = 6,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: equi-join on the hyperplane bucket, exact cosine
     re-rank within the bucket. Recall < 1 by construction (approximate);
-    at scale add multi-probe by flipping bucket bits.
+    ``multiprobe`` > 0 additionally probes buckets at hamming distance
+    1 (first ``multiprobe`` bit flips), trading candidate volume for
+    recall without extra hash tables.
 
     ``dim`` is required: Spark array columns carry no length in the
     schema, and inferring it with ``df.first()`` would trigger a job at
@@ -97,13 +100,35 @@ def ann_lsh_topk(
     probes = base.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
-        F.col("bucket").alias("pbucket"),
+        F.explode(probe_buckets(F.col("bucket"), num_planes, multiprobe)).alias(
+            "pbucket"
+        ),
     )
     scored = base.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")),
     ).withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
+    # multi-probe can reach the same candidate via several buckets
+    scored = scored.dropDuplicates(["probe_id", "vec_id"])
     return _topk(scored, k)
+
+
+def probe_buckets(bucket: Column, num_planes: int, multiprobe: int) -> Column:
+    """The probe's own bucket plus (with ``multiprobe`` > 0) every
+    bucket at hamming distance 1 — the standard multi-probe trick: a
+    near neighbor that disagrees on exactly one hyperplane lands one
+    bit-flip away, so probing the flipped buckets recovers it without
+    more tables. ``multiprobe`` caps how many flipped buckets to add
+    (flips ordered by plane index)."""
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, p),
+            F.when(F.substring(bucket, p + 1, 1) == "1", "0").otherwise("1"),
+            F.substring(bucket, p + 2, num_planes - p - 1),
+        )
+        for p in range(min(multiprobe, num_planes))
+    ]
+    return F.array(bucket, *flips)
 
 
 def nearest_cells(v_col: str, centroids: DataFrame, n: int) -> Column:

@@ -135,6 +135,26 @@ def test_ann_lsh_subset_of_bruteforce_space(spark):
     assert len(rows) >= 1  # same-bucket neighbors exist with 2 planes
 
 
+def test_ann_lsh_multiprobe_recall_superset(spark):
+    """Multi-probe searches the probe's bucket plus all hamming-1
+    flips, so its candidate set strictly contains the plain LSH one."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plain = sim.ann_lsh_topk(df, "vec_id", "embedding", [0], k=50, num_planes=3, dim=8)
+    multi = sim.ann_lsh_topk(
+        df, "vec_id", "embedding", [0], k=50, num_planes=3, dim=8, multiprobe=3
+    )
+    p = {r.vec_id for r in plain.collect()}
+    m = {r.vec_id for r in multi.collect()}
+    assert p <= m and len(m) > len(p)
+
+
 def test_as_of_join_semantics(spark):
     """Backward as-of: latest right_ts <= left_ts per key; ties take
     the simultaneous right row; no prior row -> null (LEFT ASOF)."""
