@@ -10,6 +10,14 @@
                      SQL-expressible; the driver records a rows-only
                      check for those).
 
+The ``q_*_from_rows`` family oracles the assembly FINISHER layer
+end-to-end: the Spark side stages the typed-request table to parquet
+(/tmp/indu_spark_oracle/requests_sf0.01) and both engines compute the
+entity tables (xtargets, connections, links, pins, lineage, attribute
+registry) from that same file — pin splitting, guard filters,
+completed-tag rules, and the reference's char-exploded GUID hashes are
+reproduced in portable SQL.
+
 Column aliases match between Spark and SQL exactly (the driver's
 compare sorts columns by name then value-hashes). Floating-point
 outputs are rounded on both sides; money sums are computed in
