@@ -683,6 +683,22 @@ def q_langid(spark, sf_dir):
     return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules: word count, mean word length (x100,
+    integer-exact), alpha-word and digit-word fractions, and the keep
+    decision — all native columns, codegen'd."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.ws_token_count(t).alias("n_words"),
+        ts.mean_word_len_x100(t).alias("mwl_x100"),
+        ts.alpha_word_ratio(t).alias("alpha_ratio"),
+        ts.digit_word_ratio(t).alias("digit_ratio"),
+        ts.gopher_keep(t).cast("int").alias("keep"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
@@ -863,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
         "q_langid": q_langid,
+        "q_gopher_rules": q_gopher_rules,
         "q_fingerprint": q_fingerprint,
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_connection_guid": q_connection_guid,
@@ -1219,6 +1236,21 @@ def oracle_sql() -> dict[str, str]:
                              > len(list_filter(toks, x -> x in ({_EN})))
                         THEN 'de' ELSE 'en' END AS pred_lang
             FROM t
+        """,
+        "q_gopher_rules": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     cast(floor(list_sum(list_transform(toks, x -> length(x))) * 100.0 / len(toks)) as bigint) AS mwl_x100,
+                     round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / cast(len(toks) as double), 6) AS alpha_ratio,
+                     round(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) / cast(len(toks) as double), 6) AS digit_ratio
+              FROM t
+            )
+            SELECT doc_id, n_words, mwl_x100, alpha_ratio, digit_ratio,
+                   CASE WHEN n_words >= 5 AND mwl_x100 <= 1000 AND alpha_ratio >= 0.6
+                        THEN 1 ELSE 0 END AS keep
+            FROM m
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents

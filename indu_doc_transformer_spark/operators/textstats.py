@@ -88,6 +88,41 @@ def quality_score(c: Column) -> Column:
     return (len_pts * 4 + punct_pts * 3 + stop_pts * 3).cast("bigint")
 
 
+def mean_word_len_x100(c: Column) -> Column:
+    """Gopher rule input: mean word length, scaled x100 and floored to
+    an integer so both engines compute the identical value."""
+    toks = _tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.floor(total * 100 / F.size(toks)).cast("bigint")
+
+
+def alpha_word_ratio(c: Column) -> Column:
+    """Gopher rule: fraction of words containing at least one alphabetic
+    character (low values indicate tables/code/garbage)."""
+    toks = _tokens(c)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return F.round(n_alpha / F.size(toks).cast("double"), 6)
+
+
+def digit_word_ratio(c: Column) -> Column:
+    """Gopher rule: fraction of purely numeric words."""
+    toks = _tokens(c)
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    return F.round(n_num / F.size(toks).cast("double"), 6)
+
+
+def gopher_keep(c: Column, min_words: int = 5, max_mwl: int = 1000,
+                min_alpha: float = 0.6) -> Column:
+    """Gopher-style keep decision from the rule columns (word count,
+    mean word length x100, alpha-word fraction)."""
+    toks = _tokens(c)
+    return (
+        (F.size(toks) >= min_words)
+        & (mean_word_len_x100(c) <= max_mwl)
+        & (alpha_word_ratio(c) >= min_alpha)
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""
