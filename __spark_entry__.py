@@ -101,6 +101,20 @@ def x_extract_text(spark, sf_dir):
     return _extracted(spark, sf_dir).select("url", "page_type", "extracted_text")
 
 
+def q_extract_goldens(spark, sf_dir):
+    """Byte-identical extraction as a DRIVER-VISIBLE value check: the
+    live kernel runs over the 120 golden documents and hashes
+    extracted_text; the oracle reads the checked-in goldens file
+    (captured from the reference implementation) and hashes the same
+    bytes — a green hash here IS reference text parity."""
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    ext = ex.extract(corpus_df(spark, 120, partitions=8), num_partitions=8)
+    return ext.select(
+        "url", "page_type", F.md5("extracted_text").alias("text_md5")
+    )
+
+
 def x_spans(spark, sf_dir):
     from indu_doc_transformer_spark.operators import extraction as ex
 
@@ -858,6 +872,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # reference text parity (oracled against the checked-in goldens)
+        "q_extract_goldens": q_extract_goldens,
         # relational operator layer (oracled)
         "q_pricing_summary": q_pricing_summary,
         "q_top_orders": q_top_orders,
@@ -1069,6 +1085,20 @@ _FINISHER_CTE = f"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the goldens file pins extracted_text captured from the
+        # reference; hashing it on the DuckDB side makes byte-identical
+        # extraction a value-level driver check
+        "q_extract_goldens": """
+            WITH j AS (
+              SELECT json(content) AS doc
+              FROM read_text('/root/repo/tests/goldens/extraction_120.json')
+            ),
+            k AS (SELECT unnest(json_keys(doc)) AS url, doc FROM j)
+            SELECT url,
+                   json_extract_string(doc, '$."' || url || '".page_type') AS page_type,
+                   md5(json_extract_string(doc, '$."' || url || '".extracted_text')) AS text_md5
+            FROM k
+        """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
