@@ -713,6 +713,12 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filter: top-bigram count and fraction per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.top_bigram_stats(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
@@ -896,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_gopher_rules": q_gopher_rules,
+        "q_repetition": q_repetition,
         "q_fingerprint": q_fingerprint,
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_connection_guid": q_connection_guid,
@@ -1281,6 +1288,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_words >= 5 AND mwl_x100 <= 1000 AND alpha_ratio >= 0.6
                         THEN 1 ELSE 0 END AS keep
             FROM m
+        """,
+        "q_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, len(toks) - 1 AS total,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM t WHERE len(toks) >= 2
+            ),
+            c AS (
+              SELECT doc_id, total, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, total, gram
+            )
+            SELECT doc_id, max(cnt) AS top_gram_count,
+                   round(max(cnt) / cast(any_value(total) as double), 6) AS top_gram_frac
+            FROM c GROUP BY doc_id
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
