@@ -39,19 +39,25 @@ def range_join(
     width = hi - lo
     if width <= 0:
         raise ValueError("hi must be > lo")
+    # floor division (NOT cast("long"), which truncates toward zero and
+    # misaligns buckets for negative timestamps); each left row probes
+    # its (at most two) straddled buckets — array_distinct collapses the
+    # same-bucket case without deduping genuinely duplicate left rows
     l = left.withColumn(
         "_b",
         F.explode(
-            F.array(
-                ((F.col(left_ts) + lo) / width).cast("long"),
-                ((F.col(left_ts) + hi) / width).cast("long"),
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col(left_ts) + lo) / F.lit(width)).cast("long"),
+                    F.floor((F.col(left_ts) + hi) / F.lit(width)).cast("long"),
+                )
             )
         ),
-    ).dropDuplicates([*left.columns, "_b"])
+    )
     r = right.select(
         F.col(key).alias("_rk"),
         F.col(right_ts).alias("_rts"),
-        (F.col(right_ts) / width).cast("long").alias("_b"),
+        F.floor(F.col(right_ts) / F.lit(width)).cast("long").alias("_b"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
     )
     j = l.join(r, (F.col(key) == F.col("_rk")) & (l["_b"] == r["_b"]))
@@ -95,12 +101,20 @@ def as_of_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward-fill ONE struct holding all payload columns: the struct is
+    # non-null exactly for right rows, so a matched right row whose
+    # payload VALUE is null is still the row that wins (ASOF semantics),
+    # and every returned column comes from the same right row — filling
+    # each column independently with last(ignorenulls) would skip null
+    # payloads in favor of older rows and could mix rows across columns
+    pstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in payload_cols]),
+    )
+    filled = F.last(pstruct, ignorenulls=True).over(w)
     out = u.select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload_cols
-        ],
+        *[filled.getField(c).alias(f"{c}{suffix}") for c in payload_cols],
     )
     return out.where(F.col("_side") == 1).drop("_side")

@@ -175,6 +175,43 @@ def test_as_of_join_semantics(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
 
 
+def test_as_of_join_null_payload_from_matched_row(spark):
+    """ASOF semantics for NULL payloads: the matched right row wins even
+    when its payload value is NULL (must NOT fall back to an older
+    row's value), and with several payload columns all values come from
+    the SAME right row."""
+    from indu_doc_transformer_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame([(1, "a", 30)], "id bigint, k string, ts bigint")
+    right = spark.createDataFrame(
+        [("a", 10, 1.0, "old"), ("a", 20, None, "new")],
+        "k string, ts bigint, v double, s string",
+    )
+    r = as_of_join(left, right, "k", "ts", "ts", ["v", "s"]).collect()[0]
+    # the ts=20 row is the as-of match: v is its NULL, s is its 'new'
+    assert r.v_asof is None and r.s_asof == "new"
+
+
+def test_range_join_negative_ts_and_duplicate_left(spark):
+    """Bucket ids must FLOOR (cast-to-long truncates toward zero and
+    misaligns negative timestamps), and genuinely duplicate left rows
+    must each produce their matches."""
+    from indu_doc_transformer_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [("a", -150), ("a", -150), ("b", 50)], "k string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("a", -100, 1.0), ("b", 120, 2.0)], "k string, ts bigint, v double"
+    )
+    out = range_join(left, right, "k", "ts", "ts", 0, 100, ["v"]).collect()
+    # both duplicate left rows match the (-150 -> -100) pair
+    a = [r for r in out if r.k == "a"]
+    assert len(a) == 2 and all(r.v_r == 1.0 and r.ts_r == -100 for r in a)
+    b = [r for r in out if r.k == "b"]
+    assert len(b) == 1 and b[0].v_r == 2.0
+
+
 def test_ann_ivf_full_probe_equals_bruteforce(spark):
     """With nprobe == num_cells every cell is searched, so IVF must
     return exactly the brute-force top-k (the approximation comes only
