@@ -12,7 +12,8 @@
 
 The ``q_*_from_rows`` family oracles the assembly FINISHER layer
 end-to-end: the Spark side stages the typed-request table to parquet
-(/tmp/indu_spark_oracle/requests_sf0.01) and both engines compute the
+(/tmp/indu_spark_oracle/requests_<sf>, see _oracle_requests_glob)
+and both engines compute the
 entity tables (xtargets, connections, links, pins, lineage, attribute
 registry) from that same file — pin splitting, guard filters,
 completed-tag rules, and the reference's char-exploded GUID hashes are
@@ -986,6 +987,21 @@ def _guarded_md5(x: str) -> str:
     return f"CASE WHEN {x} IS NULL THEN NULL ELSE {_sql_md5_uuid(x)} END"
 
 
+def _oracle_requests_glob() -> str:
+    """The staged-requests parquet the DuckDB oracles read. Templated
+    from SPARK_GRAFT_ORACLE_SF_DIR (set by scripts/validate_entry.py to
+    its sf dir) so validating a non-default sf never reads a stale
+    sf0.01 staging; the driver calls oracle_sql() without the env var
+    and gets the sf0.01 default it runs at. The Spark side re-stages
+    (mode=overwrite) once per process, so within any one run both
+    engines always see the same bytes."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "sf0.01")
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/indu_spark_oracle/requests_{name}/*.parquet"
+
+
 # shared finisher CTE over the staged requests parquet (see
 # q_xtargets_from_rows): reproduces pin splitting, guards, completed
 # tags, and the reference's char-exploded CONN/LINK hashes in SQL
@@ -1015,9 +1031,9 @@ def _pin_guid_sql(name: str, child: str) -> str:
     )
 
 
-_FINISHER_CTE = f"""
+_FINISHER_CTE_TEMPLATE = f"""
     WITH reqs AS (
-      SELECT * FROM read_parquet('/tmp/indu_spark_oracle/requests_sf0.01/*.parquet')
+      SELECT * FROM read_parquet('{{glob}}')
     ),
     cwl0 AS (
       SELECT url, page_no, through_tag, through_tag_c,
@@ -1088,6 +1104,12 @@ _FINISHER_CTE = f"""
       FROM linked
     )
 """
+
+
+def _finisher_cte() -> str:
+    """The finisher CTE bound to the CURRENT oracle staging glob (env-
+    templated; .replace not .format — the SQL body contains braces)."""
+    return _FINISHER_CTE_TEMPLATE.replace("{glob}", _oracle_requests_glob())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1454,19 +1476,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.id < b.id
             WHERE {_cos("a.v", "b.v")} >= 0.8
         """,
-        "q_connections_from_rows": _FINISHER_CTE
+        "q_connections_from_rows": _finisher_cte()
         + """
             SELECT DISTINCT conn_guid AS guid, src_guid, dst_guid, through_guid
             FROM conn
         """,
-        "q_links_from_rows": _FINISHER_CTE
+        "q_links_from_rows": _finisher_cte()
         + """
             SELECT DISTINCT link_guid AS guid, link_name AS name,
                    conn_guid AS connection_guid,
                    src_pin AS src_pin_name, dst_pin AS dest_pin_name
             FROM link_g
         """,
-        "q_attributes_from_rows": _FINISHER_CTE
+        "q_attributes_from_rows": _finisher_cte()
         + """
             SELECT DISTINCT a.guid AS guid, a.name AS name,
                    a.type AS type, a.value_json AS value_json
@@ -1477,7 +1499,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT unnest(loc_attrs) FROM reqs
             )
         """,
-        "q_pins_from_rows": _FINISHER_CTE
+        "q_pins_from_rows": _finisher_cte()
         + f"""
             , sides AS (
               SELECT link_guid, 'src' AS role,
@@ -1506,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT g4, names[k-3], role, g3, link_guid FROM lv4 WHERE k >= 4
             )
         """,
-        "q_lineage_from_rows": _FINISHER_CTE
+        "q_lineage_from_rows": _finisher_cte()
         + f"""
             , xreq_x AS (
               SELECT url, page_no,
@@ -1586,11 +1608,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_cos("a.v", "b.v")} >= 0.3
         """,
         # the xtargets finisher over the staged requests parquet: the
-        # Spark query writes /tmp/indu_spark_oracle/requests_sf0.01 from
-        # the same extraction pass, so both engines see identical input
+        # Spark query writes the staged requests parquet from the same
+        # extraction pass, so both engines see identical input
         "q_xtargets_from_rows": f"""
             WITH reqs AS (
-              SELECT * FROM read_parquet('/tmp/indu_spark_oracle/requests_sf0.01/*.parquet')
+              SELECT * FROM read_parquet('{_oracle_requests_glob()}')
             ),
             cwl AS (
               SELECT through_tag, through_tag_c,

@@ -39,6 +39,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the q_*_from_rows oracles template their staged-requests path from
+    # this env var (default sf0.01 = the driver's sf); without it,
+    # validating another sf dir would read a stale/missing staging
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import duckdb
 
     import __spark_entry__ as entrymod
