@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import register_cache
 from ..config import DEFAULT_ASPECTS, AspectsConfig
 from ..functions import guids as G
 from ..functions.tags import make_tag_parts_udf
@@ -388,12 +389,16 @@ def _serialize_group(
 
 
 def aml_fragments(
-    tables: dict[str, DataFrame], config: AspectsConfig = DEFAULT_ASPECTS
+    tables: dict[str, DataFrame],
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    cache: list | None = None,
 ) -> DataFrame:
     """One fragment row per (hierarchy, root): the serialized subtree
     plus element counts. ``aml_file_xml`` stitches fragments into the
     complete CAEX document for bounded exports; at warehouse scale the
-    fragments ARE the export (one XML document per hierarchy root)."""
+    fragments ARE the export (one XML document per hierarchy root).
+    ``cache`` receives the persisted target-join handle (plans.cache
+    contract: caller unpersists after materializing)."""
     parts_udf = make_tag_parts_udf(config)
     attr_rows = _attr_rows(tables)
 
@@ -410,11 +415,11 @@ def aml_fragments(
             "payloads",
             F.coalesce("payloads", F.expr(f"cast(array() as {_PAYLOAD_T})")),
         )
-        # fan-out point: 1 ECAD + N aspect trees + the aspect-attr pass
-        # all re-read this join (incl. the pin-chain folds); persist it
-        # once — the warehouse-scale equivalent is a stage table write
-        .persist()
     )
+    # fan-out point: 1 ECAD + N aspect trees + the aspect-attr pass
+    # all re-read this join (incl. the pin-chain folds); persist it
+    # once — the warehouse-scale equivalent is a stage table write
+    tgt = register_cache(tgt, cache)
 
     # per-hierarchy target rows: ECAD over all levels, one tree per
     # distinct aspect type over its levels (aml_builder.py:384-393)

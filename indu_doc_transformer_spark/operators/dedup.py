@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cache import register_cache
 from .textstats import norm_text
 
 
@@ -133,11 +134,13 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    cache: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
-    jaccard_sim >= threshold.
+    jaccard_sim >= threshold. ``cache`` receives the persisted bucket
+    handle (see plans.cache: caller unpersists after materializing).
     """
     r = num_hashes // bands
     kernel = _shingle_sig_udf(num_hashes, shingle_k)
@@ -150,7 +153,7 @@ def minhash_lsh_pairs(
     # the signature subtree is expensive (higher-order md5 folds are
     # interpreted, not codegen'd) and the self-join would evaluate it
     # twice — materialize it once
-    buckets = buckets.persist()
+    buckets = register_cache(buckets, cache)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -287,6 +290,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     prefix_hex: int = 4,
     max_hamming: int = 6,
+    cache: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket on the top ``prefix_hex`` hex
     chars (16 LSH bits), self-equi-join within buckets, verify exact
@@ -295,9 +299,10 @@ def simhash_near_dup_pairs(
     whose flipped bits land in the prefix — add rotated-prefix bands to
     raise it (same band trick as MinHash)."""
     kernel = _simhash_udf()
-    base = df.select(
-        F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("sh")
-    ).persist()  # the signature feeds a self-join: compute once
+    base = register_cache(
+        df.select(F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("sh")),
+        cache,
+    )  # the signature feeds a self-join: compute once
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -339,6 +344,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.3,
     num_planes: int = 6,
     dim: int = 64,
+    cache: list | None = None,
 ) -> DataFrame:
     """The PRODUCTION embedding near-dup path: hyperplane-LSH buckets
     both sides, candidate pairs come from a bucket equi-join (shuffles
@@ -353,7 +359,7 @@ def embedding_near_dup_lsh(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
-    base = base.persist()  # bucket expr is an interpreted fold; joined twice
+    base = register_cache(base, cache)  # interpreted fold; joined twice
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(

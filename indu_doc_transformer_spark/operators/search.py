@@ -279,36 +279,94 @@ def build_connection_index(tables: dict[str, DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _py_repr(col: Column, dtype: DataType) -> Column:
+    """Python ``repr`` rendering for values NESTED inside a container
+    (the reference's str(dict/list) in _check_path_match quotes inner
+    strings with single quotes and renders missing values as None —
+    JSON rendering would use double quotes and null)."""
+    if isinstance(dtype, StringType):
+        rendered = F.concat(F.lit("'"), col, F.lit("'"))
+    elif isinstance(dtype, ArrayType):
+        rendered = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(col, lambda e: _py_repr(e, dtype.elementType)), ", "
+            ),
+            F.lit("]"),
+        )
+    elif isinstance(dtype, MapType):
+        rendered = F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.concat(
+                        _py_repr(e["key"], dtype.keyType),
+                        F.lit(": "),
+                        _py_repr(e["value"], dtype.valueType),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit("}"),
+        )
+    elif isinstance(dtype, StructType):
+        parts: list[Column] = []
+        for i, f_ in enumerate(dtype.fields):
+            if i:
+                parts.append(F.lit(", "))
+            parts.append(F.lit(f"'{f_.name}': "))
+            parts.append(_py_repr(col[f_.name], f_.dataType))
+        rendered = F.concat(F.lit("{"), *parts, F.lit("}"))
+    else:
+        rendered = col.cast("string")
+    # nested None renders as the 4 chars 'None' (unquoted), like Python
+    return F.coalesce(rendered, F.lit("None"))
+
+
 def _str_col(col: Column, dtype: DataType) -> Column:
-    """str(current) for the final partial match."""
+    """str(current) for the final partial match. Containers render with
+    Python repr (single quotes / None), mirroring the reference's
+    str(dict/list); a bare leaf string stays unquoted like str(str)."""
     if isinstance(dtype, StringType):
         return col
     if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StringType):
         return _repr_list(col)
     if isinstance(dtype, (StructType, MapType, ArrayType)):
-        return F.to_json(col)  # documented approximation of str(dict/list)
+        return _py_repr(col, dtype)
     return col.cast("string")
 
 
+def _match_or_none(col: Column, dtype: DataType, value: str) -> Column:
+    """__partial_match(str(current), value) where a present-but-null
+    leaf stringifies to 'None' (the reference matches str(None))."""
+    return _partial(F.coalesce(_str_col(col, dtype), F.lit("None")), value)
+
+
 def _terminal(col: Column, dtype: DataType, param: str | None, value: str | None) -> Column:
-    """The end-of-path checks (searcher.py:229-246)."""
+    """The end-of-path checks (searcher.py:229-246). A PRESENT key whose
+    value is null is matchable: bare existence passes, and a value
+    filter compares against str(None) -> 'none' — only a MISSING key
+    fails (ADVICE round 2)."""
     if param is not None:
         pn = _norm_lit(param)
         if isinstance(dtype, MapType):
-            hit = F.try_element_at(col, F.lit(pn))
-            pred = hit.isNotNull()
+            # presence of the KEY, not non-nullness of the value
+            pred = F.map_contains_key(col, F.lit(pn))
             if value is not None:
-                pred = pred & _partial(hit, value)
+                hit = F.try_element_at(col, F.lit(pn))
+                pred = pred & _match_or_none(hit, dtype.valueType, value)
             return pred
         if isinstance(dtype, StructType):
             names = {f.name.lower(): f for f in dtype.fields}
             f_ = names.get(pn)
             if f_ is None:
                 return F.lit(False)
-            sub = col[f_.name]
-            pred = col.isNotNull() & sub.isNotNull()
+            # the struct itself must be present (None is not a dict);
+            # its field may be null (str(None) matches)
+            pred = col.isNotNull()
             if value is not None:
-                pred = pred & _partial(_str_col(sub, f_.dataType), value)
+                pred = pred & _match_or_none(col[f_.name], f_.dataType, value)
             return pred
         if isinstance(dtype, ArrayType):
             return F.exists(
@@ -316,7 +374,7 @@ def _terminal(col: Column, dtype: DataType, param: str | None, value: str | None
             )
         return F.lit(False)
     if value is not None:
-        return _partial(_str_col(col, dtype), value)
+        return _match_or_none(col, dtype, value)
     return F.lit(True)
 
 
@@ -343,8 +401,12 @@ def compile_path(
             col, lambda e: compile_path(e, dtype.elementType, path, param, value)
         )
     if isinstance(dtype, MapType):
+        # key presence, not value non-nullness: a present key with a
+        # null value still matches when the path ENDS here (the
+        # reference walks into None and the terminal treats it as
+        # str(None)); deeper path steps on the null fail naturally
         hit = F.try_element_at(col, F.lit(head))
-        return hit.isNotNull() & compile_path(
+        return F.map_contains_key(col, F.lit(head)) & compile_path(
             hit, dtype.valueType, path[1:], param, value
         )
     return F.lit(False)

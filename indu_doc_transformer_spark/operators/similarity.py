@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cache import register_cache
 from .dedup import embedding_cosine
 
 
@@ -171,6 +172,7 @@ def ann_ivf_topk(
     k: int = 5,
     num_cells: int = 8,
     nprobe: int = 2,
+    cache: list | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize every vector to its nearest centroid
     cell (centroids = the first ``num_cells`` vectors by id — a
@@ -184,9 +186,10 @@ def ann_ivf_topk(
         .select(F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv"))
         .orderBy("cell")
     )
-    assigned = base.withColumn(
-        "cell", F.element_at(nearest_cells("v", centroids, 1), 1)
-    ).persist()  # the centroid-distance expr is heavy; joined twice
+    assigned = register_cache(
+        base.withColumn("cell", F.element_at(nearest_cells("v", centroids, 1), 1)),
+        cache,
+    )  # the centroid-distance expr is heavy; joined twice
     probes = assigned.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),

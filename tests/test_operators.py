@@ -29,6 +29,22 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def test_operator_caches_are_scoped(spark, docs):
+    """Operators that persist self-join intermediates expose the handle
+    via the ``cache`` registry; temp_caches() unpersists on exit, so a
+    long-lived session doesn't leak executor storage (ADVICE round 2)."""
+    from indu_doc_transformer_spark.plans.cache import temp_caches
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with temp_caches() as cache:
+        out = dd.minhash_lsh_pairs(docs, "doc_id", "text", cache=cache).collect()
+        assert out  # materialized inside the scope
+        assert len(cache) == 1
+        assert jsc.getPersistentRDDs().size() > before
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_exact_duplicates(docs):
     out = dd.exact_duplicates(docs, "doc_id", "text").collect()
     assert len(out) == 1

@@ -148,6 +148,37 @@ def test_search_targets_arbitrary_path_no_whitelist(spark, tidx):
     assert s_op.search_targets(tidx, "@nosuchfield=x").count() == 0
 
 
+def test_search_null_leaf_matches_like_python_none(spark):
+    """_check_path_match parity for present-but-null leaves: a present
+    map key with a None value is matchable — bare existence passes and
+    a value filter compares against str(None) -> 'none'; only a MISSING
+    key fails (ADVICE round 2). Container leaves render with Python
+    repr (single quotes), not JSON."""
+    idx = spark.createDataFrame(
+        [
+            ("g1", "=a", {"color": None}, ("v1", None)),
+            ("g2", "=b", {"size": "10"}, ("v2", "red")),
+            ("g3", "=c", None, None),
+        ],
+        "guid string, tag string, attributes map<string,string>, "
+        "meta struct<k:string, hue:string>",
+    )
+    # bare existence of a null-valued key
+    assert {r.guid for r in s_op.search_targets(idx, "@attributes.color").collect()} == {"g1"}
+    assert {r.guid for r in s_op.search_targets(idx, "@attributes(color)").collect()} == {"g1"}
+    # value filter against the null leaf: str(None) -> 'none'
+    assert {r.guid for r in s_op.search_targets(idx, "@attributes(color)=none").collect()} == {"g1"}
+    assert {r.guid for r in s_op.search_targets(idx, "@attributes.color=none").collect()} == {"g1"}
+    # struct field null: param filter matches 'none'; null struct fails
+    assert {r.guid for r in s_op.search_targets(idx, "@meta(hue)=none").collect()} == {"g1"}
+    assert {r.guid for r in s_op.search_targets(idx, "@meta(hue)=red").collect()} == {"g2"}
+    # whole-container value match uses Python repr: single quotes
+    assert {r.guid for r in s_op.search_targets(idx, "@attributes='10'").collect()} == {"g2"}
+    # nested None renders unquoted like Python repr; a null container
+    # itself stringifies to 'None' (str(None)) — both match 'none'
+    assert {r.guid for r in s_op.search_targets(idx, "@meta=none").collect()} == {"g1", "g3"}
+
+
 def test_search_connections(spark, cidx):
     rows = cidx.collect()
     got = {r.guid for r in s_op.search_connections(cidx, "@src=-x").collect()}
