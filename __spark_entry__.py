@@ -288,6 +288,38 @@ def q_xtargets_from_rows(spark, sf_dir):
     )
 
 
+def q_aspects_from_rows(spark, sf_dir):
+    """A3 oracled end-to-end: the deduplicated aspect registry
+    (separator, value) — tag-derived aspects (tokenizer + priority-
+    slice fill, god.py:269-286) plus single-aspect requests
+    (god.py:302-340) — with the full tag grammar reproduced in DuckDB
+    SQL (single-char separator class, prefix rule, per-value strip,
+    separator_ge empty-level fill)."""
+    return _finisher_table(spark, sf_dir, "aspects")
+
+
+def q_xtarget_aspects_from_rows(spark, sf_dir):
+    """W3 oracled end-to-end: the xtarget<->aspect relation with
+    sort_order = position in the config-ordered flattened enumeration
+    (reference db_builder/db.py:222-240)."""
+    return _finisher_table(spark, sf_dir, "xtarget_aspects")
+
+
+def q_object_attributes_from_rows(spark, sf_dir):
+    """A1 attachments oracled end-to-end: the object<->attribute
+    relation over xtargets (per-role attr arrays), links, and aspects
+    (god.py:237-253 attribute registry attachment)."""
+    return _finisher_table(spark, sf_dir, "object_attributes")
+
+
+def q_errors_from_rows(spark, sf_dir):
+    """The full assembly error channel oracled end-to-end: handler row
+    skips, pin/target guards, invalid-tag warnings (per distinct tag,
+    min (url,page_no) attribution), and aspect parse failures
+    (god.py:590-596; messages byte-identical)."""
+    return _finisher_table(spark, sf_dir, "errors")
+
+
 def x_entity_links_pins(spark, sf_dir):
     t = _entities(spark, sf_dir)
     return (
@@ -928,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pins_from_rows": q_pins_from_rows,
         "q_attributes_from_rows": q_attributes_from_rows,
         "q_lineage_from_rows": q_lineage_from_rows,
+        "q_aspects_from_rows": q_aspects_from_rows,
+        "q_xtarget_aspects_from_rows": q_xtarget_aspects_from_rows,
+        "q_object_attributes_from_rows": q_object_attributes_from_rows,
+        "q_errors_from_rows": q_errors_from_rows,
         # extraction pipeline (kernel-based; rows-only check)
         "x_extract_text": x_extract_text,
         "x_spans": x_spans,
@@ -1042,14 +1078,18 @@ _FINISHER_CTE_TEMPLATE = f"""
              {_split('dst_pin_tag', 'tag')} AS dst_tag,
              {_split('dst_pin_tag', 'pin')} AS dst_pin,
              {_split('src_pin_tag_c', 'tag')} AS src_tag_c,
-             {_split('dst_pin_tag_c', 'tag')} AS dst_tag_c
+             {_split('dst_pin_tag_c', 'tag')} AS dst_tag_c,
+             loc_attrs, link_attrs
       FROM reqs WHERE kind = 'cwl'
     ),
     conn_all AS (
       SELECT url, page_no,
              CASE WHEN through_tag = '' THEN NULL ELSE through_tag END AS through_tag,
              through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c,
-             src_pin, dst_pin, TRUE AS with_link
+             src_pin, dst_pin, TRUE AS with_link,
+             -- cwl connections attribute loc_attrs to the through role
+             -- (assembly.py cwl_conn: loc_attrs AS through_attrs)
+             loc_attrs AS through_attrs_x, loc_attrs, link_attrs
       FROM cwl0
       WHERE NOT (src_pin IS NULL OR src_pin = '' OR dst_pin IS NULL OR dst_pin = '')
         AND NOT (src_tag = '' OR dst_tag = '')
@@ -1057,7 +1097,8 @@ _FINISHER_CTE_TEMPLATE = f"""
       SELECT url, page_no,
              CASE WHEN through_tag = '' THEN NULL ELSE through_tag END,
              through_tag_c, src_tag, src_tag_c, dst_tag, dst_tag_c,
-             NULL, NULL, FALSE
+             NULL, NULL, FALSE,
+             through_attrs, loc_attrs, link_attrs
       FROM reqs WHERE kind = 'conn'
     ),
     compl AS (
@@ -1110,6 +1151,79 @@ def _finisher_cte() -> str:
     """The finisher CTE bound to the CURRENT oracle staging glob (env-
     templated; .replace not .format — the SQL body contains braces)."""
     return _FINISHER_CTE_TEMPLATE.replace("{glob}", _oracle_requests_glob())
+
+
+# --- the tag grammar in SQL (kernels/tagparse.py try_parse_tag /
+# tag_parts with DEFAULT_ASPECTS): all six separators are single chars,
+# so tokenization = a char-class regex; a tag parses iff it has >=1
+# separator match AND no text before the first one; values are the
+# trimmed slices between matches; tag_parts extends the parsed map with
+# empty levels for every separator of higher priority than the lowest
+# one present (separator_ge), and the EMPTY string parses to all-empty
+# levels (try_parse('') == {} -> separator_ge over no keys == all).
+_SEPC = "[-=+:/&]"
+_SEPL = "['=','+','-',':','/','&']"
+_SEP_IDX = (
+    "CASE {s} WHEN '=' THEN 0 WHEN '+' THEN 1 WHEN '-' THEN 2 "
+    "WHEN ':' THEN 3 WHEN '/' THEN 4 WHEN '&' THEN 5 END"
+)
+
+_PARSE_CTE = f"""
+    , xrows AS (
+      SELECT url, page_no,
+             CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
+                  THEN NULL ELSE raw_tag_c END AS tag
+      FROM reqs WHERE kind = 'xreq'
+      UNION ALL SELECT url, page_no, through_completed FROM compl
+      UNION ALL SELECT url, page_no, src_completed FROM compl
+      UNION ALL SELECT url, page_no, dst_completed FROM compl
+    ),
+    dtags AS (
+      SELECT tag, url AS at_url, page_no AS at_page FROM (
+        SELECT tag, url, page_no,
+               row_number() OVER (PARTITION BY tag ORDER BY url, page_no) AS rn
+        FROM xrows WHERE tag IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    tparse AS (
+      SELECT tag, at_url, at_page, t2,
+             regexp_extract_all(t2, '{_SEPC}') AS seps,
+             list_transform(
+               list_slice(regexp_split_to_array(t2, '{_SEPC}'), 2, 100000),
+               x -> trim(x)) AS vals,
+             (len(regexp_extract_all(t2, '{_SEPC}')) > 0
+              AND regexp_split_to_array(t2, '{_SEPC}')[1] = '') AS matched
+      FROM (
+        SELECT tag, at_url, at_page,
+               trim(CASE WHEN strpos(tag, ':') > 0
+                         THEN substr(tag, 1, strpos(tag, ':') - 1)
+                         ELSE tag END) AS t2
+        FROM dtags)
+    ),
+    tvalid AS (
+      SELECT *,
+             CASE WHEN t2 = '' THEN 5
+                  ELSE list_max(list_transform(seps, s -> {_SEP_IDX.format(s='s')}))
+             END AS lowest
+      FROM tparse WHERE matched OR t2 = ''
+    ),
+    areq AS (
+      SELECT url, page_no, raw_tag, attrs,
+             trim(coalesce(raw_tag, '')) AS t2a
+      FROM reqs WHERE kind = 'aspect'
+    ),
+    aclass AS (
+      SELECT url, page_no, raw_tag, attrs,
+             CASE WHEN NOT (len(aseps) > 0 AND asplit[1] = '') THEN 1
+                  WHEN len(aseps) != 1 THEN 2 ELSE 0 END AS status,
+             CASE WHEN len(aseps) = 1 AND asplit[1] = '' THEN aseps[1] END AS asep,
+             CASE WHEN len(aseps) = 1 AND asplit[1] = '' THEN trim(asplit[2]) END AS avalue
+      FROM (
+        SELECT *, regexp_extract_all(t2a, '{_SEPC}') AS aseps,
+               regexp_split_to_array(t2a, '{_SEPC}') AS asplit
+        FROM areq)
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1554,6 +1668,108 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT url, page_no, link_guid, 'link' FROM link_g
             )
+        """,
+        "q_aspects_from_rows": _finisher_cte()
+        + _PARSE_CTE
+        + f"""
+            , tag_pairs AS (
+              SELECT seps[i] AS sep, vals[i] AS value
+              FROM tvalid, unnest(generate_series(1, len(seps))) AS g(i)
+              UNION ALL
+              SELECT s AS sep, '' AS value
+              FROM tvalid,
+                   unnest(list_filter(list_slice({_SEPL}, 1, lowest + 1),
+                                      s -> NOT list_contains(seps, s))) AS f(s)
+            )
+            SELECT DISTINCT {_sql_md5_uuid("sep || value")} AS guid,
+                   sep AS separator, value
+            FROM (SELECT sep, value FROM tag_pairs
+                  UNION ALL SELECT asep, avalue FROM aclass WHERE status = 0)
+        """,
+        "q_xtarget_aspects_from_rows": _finisher_cte()
+        + _PARSE_CTE
+        + f"""
+            , tlev AS (
+              SELECT tag,
+                flatten(list_transform(generate_series(1,6), li ->
+                  list_transform(
+                    CASE WHEN li - 1 > lowest THEN []
+                         WHEN len(list_filter(generate_series(1, len(seps)),
+                                              i -> seps[i] = ({_SEPL})[li])) > 0
+                         THEN list_transform(
+                                list_filter(generate_series(1, len(seps)),
+                                            i -> seps[i] = ({_SEPL})[li]),
+                                i -> vals[i])
+                         ELSE [''] END,
+                    v -> struct_pack(s := ({_SEPL})[li], v := v)))) AS flat
+              FROM tvalid
+            )
+            SELECT {_sql_md5_uuid("tag")} AS xtarget_guid,
+                   {_sql_md5_uuid("flat[i].s || flat[i].v")} AS aspect_guid,
+                   i - 1 AS sort_order
+            FROM tlev, unnest(generate_series(1, len(flat))) AS g(i)
+        """,
+        "q_object_attributes_from_rows": _finisher_cte()
+        + _PARSE_CTE
+        + f"""
+            SELECT DISTINCT object_guid, attribute_guid FROM (
+              SELECT {_sql_md5_uuid("tag")} AS object_guid, a.guid AS attribute_guid
+              FROM (SELECT CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
+                                THEN NULL ELSE raw_tag_c END AS tag,
+                           unnest(attrs) AS a
+                    FROM reqs WHERE kind = 'xreq')
+              WHERE tag IS NOT NULL
+              UNION ALL
+              SELECT through_guid, a.guid FROM (
+                SELECT through_guid, unnest(through_attrs_x) AS a
+                FROM role_guids WHERE through_completed IS NOT NULL)
+              UNION ALL
+              SELECT src_guid, a.guid FROM (
+                SELECT src_guid, unnest(loc_attrs) AS a
+                FROM role_guids WHERE src_completed IS NOT NULL)
+              UNION ALL
+              SELECT dst_guid, a.guid FROM (
+                SELECT dst_guid, unnest(loc_attrs) AS a
+                FROM role_guids WHERE dst_completed IS NOT NULL)
+              UNION ALL
+              SELECT link_guid, a.guid FROM (
+                SELECT link_guid, unnest(link_attrs) AS a FROM link_g)
+              UNION ALL
+              SELECT {_sql_md5_uuid("asep || avalue")}, a.guid FROM (
+                SELECT asep, avalue, unnest(attrs) AS a
+                FROM aclass WHERE status = 0)
+            )
+        """,
+        "q_errors_from_rows": _finisher_cte()
+        + _PARSE_CTE
+        + """
+            SELECT url, page_no, 'WARNING' AS severity, message
+            FROM reqs WHERE kind = 'error'
+            UNION ALL
+            SELECT url, page_no, 'WARNING',
+                   'Linked connection where one/no pins specified: `'
+                   || coalesce(src_pin, 'None') || '` `'
+                   || coalesce(dst_pin, 'None') || '`'
+            FROM cwl0
+            WHERE src_pin IS NULL OR src_pin = '' OR dst_pin IS NULL OR dst_pin = ''
+            UNION ALL
+            SELECT url, page_no, 'WARNING',
+                   'Linked connection where one/no targets specified: `'
+                   || src_tag || '` `' || dst_tag || '`'
+            FROM cwl0
+            WHERE NOT (src_pin IS NULL OR src_pin = ''
+                       OR dst_pin IS NULL OR dst_pin = '')
+              AND (src_tag = '' OR dst_tag = '')
+            UNION ALL
+            SELECT at_url, at_page, 'WARNING', 'Tag is invalid: ' || tag
+            FROM tparse WHERE NOT (matched OR t2 = '')
+            UNION ALL
+            SELECT url, page_no, 'WARNING',
+                   CASE WHEN status = 1
+                        THEN 'Failed to create aspect with tag: ''' || raw_tag || ''''
+                        ELSE 'Failed to create aspect with tag: ''' || raw_tag
+                             || ''' - has composite structure' END
+            FROM aclass WHERE status != 0
         """,
         # IVF ANN: centroids = first 8 vectors (deterministic codebook
         # stand-in); assignment + probe-cell ranking by (cos DESC, cell
