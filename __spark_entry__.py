@@ -877,9 +877,46 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-def q_embedding_neardup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return dd.embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.8, 100)
+def q_neardup_keep_list(spark, sf_dir):
+    """The standard 100-TB dedup ending oracled end-to-end: MinHash-LSH
+    pairs -> connected components (iterative min-label propagation, no
+    driver state) -> one survivor per cluster. DuckDB oracle: the same
+    pairs SQL + a recursive reachability CTE."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.near_dup_keep_list(
+        d, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+def q_simhash_neardup_banded(spark, sf_dir):
+    """Banded SimHash near-dup: 4 x 16-bit band buckets (vs the single
+    16-bit prefix of q_simhash_neardup) — any pair within hamming 3
+    shares an untouched band (pigeonhole), so recall strictly dominates
+    the single-band query on the same corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_dup_pairs_banded(d, "doc_id", "text", bands=4, max_hamming=6)
+
+
+def q_neardup_recall(spark, sf_dir):
+    """Recall gate for the production embedding near-dup path: exact
+    cosine pairs over a bounded id range vs the pairs the LSH bucket
+    join recovers — one row (n_exact, n_lsh_found, recall). Breaks if
+    either embedding_cosine or the hyperplane bucket join breaks
+    (replaces the vacuous 0-row q_embedding_neardup)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    exact = dd.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, max_ids=150
+    )
+    lsh = dd.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    j = exact.join(lsh, ["id_a", "id_b"], "left")
+    found = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        found.cast("long").alias("n_lsh_found"),
+        F.round(found / F.count("*"), 6).alias("recall"),
+    )
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -947,11 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_simhash_neardup_banded": q_simhash_neardup_banded,
+        "q_neardup_keep_list": q_neardup_keep_list,
         # similarity search (oracled)
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "q_embedding_neardup": q_embedding_neardup,
+        "q_neardup_recall": q_neardup_recall,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         # assembly finishers oracled end-to-end over the staged requests
         "q_xtargets_from_rows": q_xtargets_from_rows,
@@ -1571,6 +1610,45 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
             ) WHERE hamming <= 6
         """,
+        "q_simhash_neardup_banded": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_distinct(regexp_split_to_array({_NORM}, ' ')), x -> md5(x)) AS hx
+              FROM documents
+            ), bits AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0,63), p ->
+                       CASE WHEN list_sum(list_transform(hx, h ->
+                         CASE WHEN cast(floor((strpos('0123456789abcdef', substr(h, cast(floor(p/4) as int) + 1, 1)) - 1)
+                                    / power(2, 3 - (p % 4))) as int) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN 1 ELSE 0 END) AS b
+              FROM t
+            ), sh AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(generate_series(0,15), g ->
+                       substr('0123456789abcdef',
+                              cast(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] + 1 as int), 1)), '') AS simhash
+              FROM bits
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM sh a JOIN sh b
+                ON a.doc_id < b.doc_id
+               AND (substr(a.simhash,1,4)  = substr(b.simhash,1,4)
+                 OR substr(a.simhash,5,4)  = substr(b.simhash,5,4)
+                 OR substr(a.simhash,9,4)  = substr(b.simhash,9,4)
+                 OR substr(a.simhash,13,4) = substr(b.simhash,13,4))
+            )
+            SELECT id_a, id_b, hamming FROM (
+              SELECT id_a, id_b,
+                cast(list_sum(list_transform(generate_series(1,16), i ->
+                  bit_count(xor(strpos('0123456789abcdef', substr(sa,i,1)) - 1,
+                                strpos('0123456789abcdef', substr(sb,i,1)) - 1)))) as bigint) AS hamming
+              FROM cand
+            ) WHERE hamming <= 6
+        """,
         "q_ann_bruteforce": f"""
             WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
             probes AS (SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id IN (0,1,2)),
@@ -1584,11 +1662,68 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
         """,
-        "q_embedding_neardup": f"""
-            WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 100)
-            SELECT a.id AS id_a, b.id AS id_b, {_cos("a.v", "b.v")} AS cos_sim
-            FROM e a JOIN e b ON a.id < b.id
-            WHERE {_cos("a.v", "b.v")} >= 0.8
+        "q_neardup_keep_list": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sigs AS (SELECT doc_id, sh, {_SIG} AS sig FROM t),
+            buckets AS (
+              SELECT doc_id, sh, j AS band,
+                     md5(cast(j as varchar) || '|' ||
+                         array_to_string(list_slice(sig, j*4+1, j*4+4), ',')) AS bucket
+              FROM sigs, unnest(generate_series(0,3)) AS g(j)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM cand
+              WHERE len(list_intersect(sh_a, sh_b)) /
+                    cast(len(list_distinct(list_concat(sh_a, sh_b))) as double) >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+            ),
+            comp AS (SELECT a AS id, min(lbl) AS comp FROM reach GROUP BY a)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+        """,
+        "q_neardup_recall": f"""
+            WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 150),
+            exact AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE {_cos("a.v", "b.v")} >= 0.3
+            ),
+            bk AS (
+              SELECT vec_id, v,
+                     array_to_string(list_transform(generate_series(0,5), p ->
+                       CASE WHEN list_sum(list_transform(generate_series(1,64), i ->
+                              cast(v[i] as double) *
+                              (CASE WHEN substr(md5(cast(p as varchar) || ':' || cast(i as varchar)), 1, 1)
+                                         IN ('0','1','2','3','4','5','6','7')
+                                    THEN 1.0 ELSE -1.0 END)))
+                            >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              FROM e
+            ),
+            lsh AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE {_cos("a.v", "b.v")} >= 0.3
+            )
+            SELECT cast(count(*) as bigint) AS n_exact,
+                   cast(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                     AS n_lsh_found,
+                   round(cast(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) as double)
+                         / count(*), 6) AS recall
+            FROM exact x LEFT JOIN lsh l ON x.id_a = l.id_a AND x.id_b = l.id_b
         """,
         "q_connections_from_rows": _finisher_cte()
         + """

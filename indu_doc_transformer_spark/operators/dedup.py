@@ -320,6 +320,146 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the smallest
+    id reachable from it. Returns (id, component).
+
+    Scale design: each iteration is ONE equi-join on the symmetrized
+    edges plus a groupBy — no driver state beyond the converged-yet
+    counter (the standard Pregel-style control loop; GraphX does the
+    same). Labels are localCheckpoint'ed per iteration so plan lineage
+    stays flat. Converges in graph-diameter iterations; near-dup
+    clusters are shallow (pairs/small cliques), so 2-4 rounds in
+    practice. For adversarial long-chain graphs switch to the
+    large-star/small-star contraction (O(log d) rounds) — not needed
+    for dedup workloads.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # edges are re-joined every round
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _i in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "ncomp2"
+                ),
+                "comp",
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.where(F.col("ncomp2") != F.col("comp")).count()
+        labels = new.select("id", F.col("ncomp2").alias("comp"))
+        if changed == 0:
+            break
+    else:  # pragma: no cover - diameter > max_iters
+        raise RuntimeError(f"connected_components: no convergence in {max_iters} iters")
+    return labels
+
+
+def near_dup_keep_list(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    cache: list | None = None,
+) -> DataFrame:
+    """The standard 100-TB dedup ending: MinHash-LSH near-dup pairs ->
+    connected components -> keep ONE doc (the min id) per cluster.
+    Returns the ids that SURVIVE (everything outside any cluster plus
+    each cluster's representative)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k, threshold, cache=cache
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.where(F.col("id") != F.col("comp")).select("id")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(drop, "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def simhash_near_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 6,
+    cache: list | None = None,
+) -> DataFrame:
+    """Banded SimHash near-dup: split the 64-bit fingerprint into
+    ``bands`` contiguous 16/bands-hex-char slices, bucket on each
+    (band, slice), union the candidates, verify exact hamming. By
+    pigeonhole, any pair within hamming bands-1 shares at least one
+    untouched band — guaranteed recall there, and much higher recall
+    than the single-prefix bucket for larger distances (the rotated-
+    prefix band structure promised at simhash_near_dup_pairs)."""
+    if 16 % bands:
+        raise ValueError("bands must divide 16 hex chars")
+    w = 16 // bands
+    kernel = _simhash_udf()
+    base = register_cache(
+        df.select(F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("sh")),
+        cache,
+    )
+    buckets = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring("sh", j * w + 1, w).alias("slice"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.slice").alias("slice"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in >1 band
+    )
+    return (
+        cand.withColumn("hamming", hamming_hex(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_cosine(a: Column, b: Column) -> Column:
     """Cosine similarity via an explicit sequential fold (identical
     summation order to the DuckDB oracle), rounded to 6 decimals."""

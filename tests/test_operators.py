@@ -171,6 +171,40 @@ def test_ann_lsh_multiprobe_recall_superset(spark):
     assert p <= m and len(m) > len(p)
 
 
+def test_connected_components_chain(spark):
+    """Min-label propagation converges across a 3-hop chain and leaves
+    disjoint components separate."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.comp for r in dd.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_near_dup_keep_list(docs):
+    """Docs 0/1/2 form one near-dup cluster (1 is a near-dup of 0, 2 an
+    exact dup) -> only the min id survives; singletons survive."""
+    keep = {r.doc_id for r in dd.near_dup_keep_list(docs, "doc_id", "text").collect()}
+    assert keep == {0, 3, 4}
+
+
+def test_simhash_banded_superset(docs):
+    """4-band bucketing finds every pair the single-prefix bucket finds
+    (band 0 IS the prefix), plus pairs whose flipped bits hit the
+    prefix."""
+    single = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_dup_pairs(docs, "doc_id", "text", 4, 20).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_near_dup_pairs_banded(
+            docs, "doc_id", "text", bands=4, max_hamming=20
+        ).collect()
+    }
+    assert single <= banded and banded
+
+
 def test_as_of_join_semantics(spark):
     """Backward as-of: latest right_ts <= left_ts per key; ties take
     the simultaneous right row; no prior row -> null (LEFT ASOF)."""
