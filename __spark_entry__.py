@@ -730,26 +730,58 @@ def q_langid(spark, sf_dir):
     return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def _structured_text() -> "F.Column":
+    """The synthetic corpus is single-line, symbol-free prose, which
+    would make the structural Gopher rules vacuously 0; derive a
+    deterministic structured rendition — 3-token lines, 2-line
+    (6-token) paragraphs, 'hash' -> '#' — identically on both engines
+    so duplicate-line/paragraph and symbol rules carry real signal."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+
+    def j3(start: "F.Column") -> "F.Column":
+        return F.array_join(F.slice(toks, start, 3), " ")
+
+    paras = F.transform(
+        F.sequence(F.lit(1), F.floor((n + 5) / 6).cast("int")),
+        lambda i: F.concat(j3((i - 1) * 6 + 1), F.lit("\n"), j3((i - 1) * 6 + 4)),
+    )
+    return F.regexp_replace(F.array_join(paras, "\n\n"), "hash", "#")
+
+
 def q_gopher_rules(spark, sf_dir):
-    """Gopher-style quality rules: word count, mean word length (x100,
-    integer-exact), alpha-word and digit-word fractions, and the keep
-    decision — all native columns, codegen'd."""
-    d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
+    """Full Gopher quality rule set over the structured rendition: word
+    count, mean word length (x100, integer-exact), alpha-word and
+    digit-word fractions, duplicate-line and duplicate-paragraph
+    fractions, symbol-to-word ratio, and the folded keep decision — all
+    native columns, codegen'd."""
+    d = _t(spark, sf_dir, "documents").withColumn("s", _structured_text())
+    t = F.col("s")
     return d.select(
         "doc_id",
         ts.ws_token_count(t).alias("n_words"),
         ts.mean_word_len_x100(t).alias("mwl_x100"),
         ts.alpha_word_ratio(t).alias("alpha_ratio"),
         ts.digit_word_ratio(t).alias("digit_ratio"),
+        ts.dup_line_fraction(t).alias("dup_line_frac"),
+        ts.dup_paragraph_fraction(t).alias("dup_para_frac"),
+        ts.symbol_word_ratio(t).alias("symbol_ratio"),
         ts.gopher_keep(t).cast("int").alias("keep"),
     )
 
 
-def q_repetition(spark, sf_dir):
-    """Gopher repetition filter: top-bigram count and fraction per doc."""
+def q_repetition_full(spark, sf_dir):
+    """Gopher repetition rules: top n-gram fraction for n in {2,3,4}
+    per document in one pass (single explode, two shuffles), plus the
+    folded repetition keep flag."""
     d = _t(spark, sf_dir, "documents")
-    return ts.top_bigram_stats(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    out = ts.top_ngram_stats(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    return out.withColumn(
+        "rep_keep",
+        ts.repetition_keep(
+            F.col("top2_frac"), F.col("top3_frac"), F.col("top4_frac")
+        ).cast("int"),
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -972,7 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_langid": q_langid,
         "q_gopher_rules": q_gopher_rules,
-        "q_repetition": q_repetition,
+        "q_repetition_full": q_repetition_full,
         "q_fingerprint": q_fingerprint,
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_connection_guid": q_connection_guid,
@@ -1450,35 +1482,80 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "q_gopher_rules": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            m AS (
+            WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s0 AS (
               SELECT doc_id,
-                     len(toks) AS n_words,
-                     cast(floor(list_sum(list_transform(toks, x -> length(x))) * 100.0 / len(toks)) as bigint) AS mwl_x100,
-                     round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / cast(len(toks) as double), 6) AS alpha_ratio,
-                     round(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) / cast(len(toks) as double), 6) AS digit_ratio
-              FROM t
+                     replace(
+                       array_to_string(
+                         list_transform(
+                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
+                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
+                                || chr(10) ||
+                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
+                         chr(10) || chr(10)),
+                       'hash', '#') AS s
+              FROM t0
+            ),
+            m AS (
+              SELECT doc_id, s,
+                     regexp_split_to_array(lower(trim(s)), '\\s+') AS stoks,
+                     list_filter(list_transform(regexp_split_to_array(s, '\\n'), x -> trim(x)), x -> x != '') AS lines,
+                     list_filter(list_transform(regexp_split_to_array(s, '\\n{{2,}}'), x -> trim(x)), x -> x != '') AS paras
+              FROM s0
+            ),
+            r AS (
+              SELECT doc_id,
+                     len(stoks) AS n_words,
+                     cast(floor(list_sum(list_transform(stoks, x -> length(x))) * 100.0 / len(stoks)) as bigint) AS mwl_x100,
+                     round(len(list_filter(stoks, x -> regexp_matches(x, '[a-z]'))) / cast(len(stoks) as double), 6) AS alpha_ratio,
+                     round(len(list_filter(stoks, x -> regexp_matches(x, '^[0-9]+$'))) / cast(len(stoks) as double), 6) AS digit_ratio,
+                     CASE WHEN len(lines) <= 0 THEN 0.0
+                          ELSE round((len(lines) - len(list_distinct(lines))) / cast(len(lines) as double), 6) END AS dup_line_frac,
+                     CASE WHEN len(paras) <= 0 THEN 0.0
+                          ELSE round((len(paras) - len(list_distinct(paras))) / cast(len(paras) as double), 6) END AS dup_para_frac,
+                     round(len(regexp_extract_all(s, '\\.{{3}}|[#…]')) / cast(len(stoks) as double), 6) AS symbol_ratio
+              FROM m
             )
             SELECT doc_id, n_words, mwl_x100, alpha_ratio, digit_ratio,
+                   dup_line_frac, dup_para_frac, symbol_ratio,
                    CASE WHEN n_words >= 5 AND mwl_x100 <= 1000 AND alpha_ratio >= 0.6
+                             AND dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
+                             AND symbol_ratio <= 0.1
                         THEN 1 ELSE 0 END AS keep
-            FROM m
+            FROM r
         """,
-        "q_repetition": f"""
+        "q_repetition_full": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            g AS (
-              SELECT doc_id, len(toks) - 1 AS total,
-                     unnest(list_transform(generate_series(1, len(toks) - 1),
-                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+            base AS (
+              SELECT doc_id, cast(len(toks) as bigint) AS ntok, toks
               FROM t WHERE len(toks) >= 2
             ),
+            g AS (
+              SELECT doc_id, ntok, n,
+                     unnest(list_transform(generate_series(1, ntok - (n - 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+              FROM base, (SELECT unnest([2, 3, 4]) AS n) ns
+              WHERE ntok >= n
+            ),
             c AS (
-              SELECT doc_id, total, gram, count(*) AS cnt
-              FROM g GROUP BY doc_id, total, gram
+              SELECT doc_id, ntok, n, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, ntok, n, gram
+            ),
+            top AS (
+              SELECT doc_id, ntok, n, max(cnt) AS top_cnt
+              FROM c GROUP BY doc_id, ntok, n
+            ),
+            p AS (
+              SELECT doc_id,
+                     round(coalesce(max(CASE WHEN n = 2 THEN top_cnt / cast(ntok - 1 as double) END), 0.0), 6) AS top2_frac,
+                     round(coalesce(max(CASE WHEN n = 3 THEN top_cnt / cast(ntok - 2 as double) END), 0.0), 6) AS top3_frac,
+                     round(coalesce(max(CASE WHEN n = 4 THEN top_cnt / cast(ntok - 3 as double) END), 0.0), 6) AS top4_frac
+              FROM top GROUP BY doc_id
             )
-            SELECT doc_id, max(cnt) AS top_gram_count,
-                   round(max(cnt) / cast(any_value(total) as double), 6) AS top_gram_frac
-            FROM c GROUP BY doc_id
+            SELECT doc_id, top2_frac, top3_frac, top4_frac,
+                   CASE WHEN top2_frac <= 0.2 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+                        THEN 1 ELSE 0 END AS rep_keep
+            FROM p
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents

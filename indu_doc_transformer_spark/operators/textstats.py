@@ -111,15 +111,55 @@ def digit_word_ratio(c: Column) -> Column:
     return F.round(n_num / F.size(toks).cast("double"), 6)
 
 
-def gopher_keep(c: Column, min_words: int = 5, max_mwl: int = 1000,
-                min_alpha: float = 0.6) -> Column:
-    """Gopher-style keep decision from the rule columns (word count,
-    mean word length x100, alpha-word fraction)."""
+_SYMBOL_RE = r"\.{3}|[#…]"
+
+
+def symbol_word_ratio(c: Column) -> Column:
+    """Gopher rule: symbol marks (ellipsis, #, …) per word."""
+    nsym = F.size(F.regexp_extract_all(c, F.lit(_SYMBOL_RE), F.lit(0)))
+    return F.round(nsym / ws_token_count(c).cast("double"), 6)
+
+
+def dup_fraction(parts: Column) -> Column:
+    """(total - distinct) / total over the non-empty trimmed parts —
+    the Gopher duplicate-line / duplicate-paragraph shape. Pure
+    higher-order expression: no explode, no shuffle, per-row work."""
+    p = F.filter(F.transform(parts, lambda t: F.trim(t)), lambda t: t != "")
+    total = F.size(p)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round((total - F.size(F.array_distinct(p))) / total.cast("double"), 6)
+    )
+
+
+def dup_line_fraction(c: Column) -> Column:
+    return dup_fraction(F.split(c, "\n"))
+
+
+def dup_paragraph_fraction(c: Column) -> Column:
+    return dup_fraction(F.split(c, r"\n{2,}"))
+
+
+def gopher_keep(
+    c: Column,
+    min_words: int = 5,
+    max_mwl: int = 1000,
+    min_alpha: float = 0.6,
+    max_dup_line: float = 0.3,
+    max_dup_para: float = 0.3,
+    max_symbol: float = 0.1,
+) -> Column:
+    """Gopher-style keep decision: word count, mean word length, alpha
+    fraction, duplicate-line/paragraph fractions, symbol-to-word
+    ratio. (The repetition n-gram rules need an aggregation and live in
+    top_ngram_stats / q_repetition_full.)"""
     toks = _tokens(c)
     return (
         (F.size(toks) >= min_words)
         & (mean_word_len_x100(c) <= max_mwl)
         & (alpha_word_ratio(c) >= min_alpha)
+        & (dup_line_fraction(c) <= max_dup_line)
+        & (dup_paragraph_fraction(c) <= max_dup_para)
+        & (symbol_word_ratio(c) <= max_symbol)
     )
 
 
@@ -154,6 +194,66 @@ def top_bigram_stats(df, id_col: str, text_col: str):
             "top_gram_frac"
         ),
     )
+
+
+def top_ngram_stats(df, id_col: str, text_col: str, ns: tuple = (2, 3, 4)):
+    """Gopher repetition rules generalized: the top n-gram fraction for
+    each n in ``ns`` per document, in ONE pass — the per-n gram arrays
+    are built row-side (map-only), a single explode feeds one
+    (id, n, gram) count and one (id, n) max, then conditional
+    aggregation pivots n back to columns. Two shuffles total regardless
+    of how many n's, no per-doc Python."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+
+    def grams_for(n: int) -> Column:
+        return F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.expr("cast(array() as array<struct<n:int,gram:string>>)"))
+
+    all_g = F.flatten(F.array(*[grams_for(n) for n in ns]))
+    g = (
+        df.where(n_tok >= 2)
+        .select(
+            F.col(id_col).alias("id"),
+            n_tok.cast("long").alias("ntok"),
+            F.explode(all_g).alias("g"),
+        )
+        .select("id", "ntok", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = g.groupBy("id", "ntok", "n", "gram").agg(F.count("*").alias("cnt"))
+    top = counts.groupBy("id", "ntok", "n").agg(F.max("cnt").alias("top_cnt"))
+    aggs = [
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("top_cnt") / (F.col("ntok") - (n - 1)).cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"top{n}_frac")
+        for n in ns
+    ]
+    return top.groupBy("id", "ntok").agg(*aggs).drop("ntok")
+
+
+def repetition_keep(
+    top2: Column, top3: Column, top4: Column,
+    max2: float = 0.2, max3: float = 0.18, max4: float = 0.16,
+) -> Column:
+    """Gopher's repetition thresholds folded to one keep flag."""
+    return (top2 <= max2) & (top3 <= max3) & (top4 <= max4)
 
 
 def fingerprint(c: Column) -> Column:
