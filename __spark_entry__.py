@@ -853,6 +853,42 @@ def q_tumbling_counts(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """2.9 stateful streaming sessionizer oracled by batch equivalence:
+    the applyInPandasWithState operator (streaming/stream.py:52) runs
+    with Trigger.AvailableNow over the events table staged as ONE file
+    (one data micro-batch). Sessions closed by a later in-stream event
+    are emitted in-batch; each user's trailing session stays in the
+    state store unless the post-batch watermark (max event time − 10
+    min) passes its event-time timeout (last event + gap). The DuckDB
+    oracle reproduces exactly that: gaps-and-islands sessions minus
+    trailing sessions the watermark has not yet flushed."""
+    import os
+    import tempfile
+    import uuid
+
+    from indu_doc_transformer_spark.streaming.stream import stream_sessionize
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/tmp/indu_spark_oracle/events_stream_{name}"
+    key = (spark.sparkContext.applicationId, sf_dir, "events_stream")
+    if key not in _CACHE:
+        _t(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
+        _CACHE[key] = src
+    qn = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_sessionize(spark, src, gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_cp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn)
+
+
 def q_minhash_signature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(dd.word_shingles(F.col("text"), 3), 16)
@@ -1009,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_connection_guid": q_connection_guid,
         "q_tumbling_counts": q_tumbling_counts,
+        "q_stream_sessionize": q_stream_sessionize,
         # dedup family (oracled)
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_signature": q_minhash_signature,
@@ -1591,6 +1628,37 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(cast(sum(cast(value as decimal(18,4))) as double), 4) AS sum_value
             FROM events GROUP BY bucket_start, event_type
+        """,
+        # batch-equivalence oracle for the stateful streaming operator:
+        # in-batch-closed sessions plus trailing sessions whose
+        # event-time timeout (last event + 300s) precedes the post-batch
+        # watermark (global max event time - 10 min). Integer // floor
+        # is safe here (bigint // int, all values positive).
+        "q_stream_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            f AS (
+              SELECT user_id, us,
+                     CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
+                          THEN 1 ELSE 0 END AS flag
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, us,
+                     sum(flag) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f
+            ),
+            sess AS (
+              SELECT user_id, sid,
+                     min(us) AS session_start_us, max(us) AS session_end_us,
+                     cast(count(*) as int) AS n_events,
+                     max(sid) OVER (PARTITION BY user_id) AS msid
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start_us, session_end_us, n_events
+            FROM sess
+            WHERE sid < msid
+               OR (session_end_us // 1000 + 300000)
+                  < (SELECT max(epoch_us(ts)) // 1000 - 600000 FROM events)
         """,
         "q_exact_dedup": """
             SELECT md5(lower(trim(regexp_replace(substr(text,1,30), '\\s+', ' ', 'g')))) AS fp,
