@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .config import DEFAULT_ASPECTS, PAGE_SETUPS, AspectsConfig, page_setups_to_json
 from .operators import assembly as asm_op
 from .operators import extraction as ex
 from .plans.checkpoint import run_checkpointed
@@ -78,11 +79,44 @@ def run_extraction(
     return stats
 
 
-def run_assembly(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+def run_metadata(
+    spark: SparkSession,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    page_setups: dict = PAGE_SETUPS,
+) -> DataFrame:
+    """One-row schema-contract table persisted alongside the entity
+    tables (reference analog: exporters/db_builder/db.py:159-161 and
+    the metadata insert at db.py:413-416, which stores
+    ``configs.get_db_representation()``). A warehouse consumer can
+    reconstruct the AspectsConfig and per-page-type setups that
+    produced a run from the output alone — the entity schemas are
+    config-dependent (aspect columns), so the output is not
+    self-describing without this."""
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (
+                config.to_json_str(),
+                page_setups_to_json(page_setups),
+                ",".join(ENTITY_TABLES),
+                spark.version,
+                spark.sparkContext.applicationId,
+                datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            )
+        ],
+        "aspects_config string, page_setups string, entity_tables string, "
+        "spark_version string, app_id string, created_utc string",
+    )
+
+
+def run_assembly(
+    spark: SparkSession, out_dir: str, config: AspectsConfig = DEFAULT_ASPECTS
+) -> dict[str, DataFrame]:
     """Stage 2: entity tables from the persisted extraction output."""
     extracted = read_table(spark, os.path.join(out_dir, "extracted"))
     rows = ex.rows_table(extracted)
-    tables = asm_op.assemble(rows)
+    tables = asm_op.assemble(rows, config)
     # extraction-stage error channel joins the assembly one
     tables["errors"] = tables["errors"].unionByName(ex.errors_table(extracted))
     for name in ENTITY_TABLES:
@@ -96,6 +130,8 @@ def run_assembly(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         os.path.join(out_dir, "extracted_text"),
     )
     write_table(ex.spans_table(extracted), os.path.join(out_dir, "spans"))
+    # run-metadata: the config contract that produced this output
+    write_table(run_metadata(spark, config), os.path.join(out_dir, "metadata"))
     return tables
 
 

@@ -36,6 +36,29 @@ def test_full_pipeline_outputs(spark, tmp_path):
     assert sum(m["docs"] for m in stats["observed"]) == N
 
 
+def test_run_metadata_reconstructs_config(spark, tmp_path):
+    """Run-metadata table (reference db.py:159-161,413-416): one row
+    persisted with the assembly output from which the exact
+    AspectsConfig and page setups can be reconstructed."""
+    from indu_doc_transformer_spark.config import (
+        DEFAULT_ASPECTS,
+        PAGE_SETUPS,
+        AspectsConfig,
+        page_setups_from_json,
+    )
+
+    out = str(tmp_path / "out")
+    docs = corpus_df(spark, 20, partitions=2)
+    pipeline.run_full(docs, out, num_buckets=4)
+    meta = spark.read.parquet(os.path.join(out, "metadata")).collect()
+    assert len(meta) == 1
+    row = meta[0]
+    assert AspectsConfig.from_json_str(row.aspects_config) == DEFAULT_ASPECTS
+    assert page_setups_from_json(row.page_setups) == PAGE_SETUPS
+    assert row.entity_tables.split(",") == pipeline.ENTITY_TABLES
+    assert row.spark_version == spark.version and row.app_id
+
+
 def test_entity_tables_roundtrip_equality(spark, tmp_path):
     """S8/§5.3: written entity tables read back equal to the in-memory
     assembly result (the reference's DB save/load self-check,
