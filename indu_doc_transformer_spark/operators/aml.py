@@ -578,27 +578,19 @@ def aml_fragments(
     return fragments.unionByName(il_frags)
 
 
-def aml_file_xml(
-    fragments: DataFrame,
-    config: AspectsConfig = DEFAULT_ASPECTS,
-    file_name: str = "export.aml",
-    timestamp: str = "1970-01-01T00:00:00+00:00",
-) -> str:
-    """Assemble the complete CAEX document from fragments (bounded
-    exports / tests; aml_abstractions.py:204-246 CAEXFile). The
-    timestamp is a parameter so the output is deterministic."""
-    frags = sorted(
-        fragments.collect(), key=lambda r: (r.hierarchy, r.section, r.root)
-    )
+def _hierarchy_order(config: AspectsConfig) -> list[str]:
+    """Global InstanceHierarchy order: ECAD first, then one tree per
+    distinct aspect type in config order (aml_builder.py:382-393)."""
     order = [MAIN_TREE_NAME]
     for l in config.levels:
         cap = l.aspect.lower().capitalize()
         if cap not in order:
             order.append(cap)
-    by_h: dict[str, list] = {}
-    for r in frags:
-        by_h.setdefault(r.hierarchy, []).append(r)
-    out = [
+    return order
+
+
+def _caex_header(file_name: str, timestamp: str) -> list[str]:
+    return [
         '<?xml version="1.0" encoding="utf-8"?>',
         '<CAEXFile xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
         'xmlns="http://www.dke.de/CAEX" SchemaVersion="3.0" '
@@ -608,9 +600,101 @@ def aml_file_xml(
         '<SourceDocumentInformation OriginName="indu-doc-transformer-spark" '
         f'OriginVersion="0.0.0" OriginURL="" LastWritingDateTime="{timestamp}"/>',
     ]
-    for h in order:
+
+
+def aml_file_xml(
+    fragments: DataFrame,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    file_name: str = "export.aml",
+    timestamp: str = "1970-01-01T00:00:00+00:00",
+) -> str:
+    """Assemble the complete CAEX document from fragments (bounded
+    exports / tests; aml_abstractions.py:204-246 CAEXFile). The
+    timestamp is a parameter so the output is deterministic. For
+    unbounded exports use write_aml_fragments + stitch_aml_file."""
+    frags = sorted(
+        fragments.collect(), key=lambda r: (r.hierarchy, r.section, r.root)
+    )
+    by_h: dict[str, list] = {}
+    for r in frags:
+        by_h.setdefault(r.hierarchy, []).append(r)
+    out = _caex_header(file_name, timestamp)
+    for h in _hierarchy_order(config):
         out.append(f"<InstanceHierarchy Name={quoteattr(h)}><Version>0.0.1</Version>")
         for r in by_h.get(h, []):
+            out.append(r.xml)
+        out.append("</InstanceHierarchy>")
+    out.append("</CAEXFile>")
+    return "".join(out)
+
+
+def write_aml_fragments(
+    fragments: DataFrame,
+    out_dir: str,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+) -> None:
+    """Distributed AML export (the 100-TB path): fragment bodies are
+    written as a parquet table partitioned by hierarchy — no driver
+    collect anywhere — plus a tiny one-row-per-(hierarchy, section)
+    index table carrying the global stitch order (h_order from the
+    config), fragment counts, and content stats. A downstream consumer
+    produces the CAEX file by streaming partitions in index order
+    (stitch_aml_file below); the fragment table itself is the
+    queryable export surface."""
+    import os
+
+    spark = fragments.sparkSession
+    frag_path = os.path.join(out_dir, "aml_fragments")
+    fragments.write.mode("overwrite").partitionBy("hierarchy").parquet(frag_path)
+    # index from the *written* table: one cheap scan, no recompute of
+    # the serialize pass
+    written = spark.read.parquet(frag_path)
+    order = _hierarchy_order(config)
+    h_order = F.create_map(
+        *[x for i, h in enumerate(order) for x in (F.lit(h), F.lit(i))]
+    )
+    idx = (
+        written.groupBy("hierarchy", "section")
+        .agg(
+            F.count("*").alias("n_fragments"),
+            F.sum("n_targets").cast("long").alias("n_targets"),
+            F.sum("n_aspects").cast("long").alias("n_aspects"),
+            F.sum("n_connections").cast("long").alias("n_connections"),
+            F.sum("n_pins").cast("long").alias("n_pins"),
+            F.sum("n_links").cast("long").alias("n_links"),
+            F.sum(F.length("xml")).cast("long").alias("xml_chars"),
+        )
+        .withColumn("h_order", h_order[F.col("hierarchy")])
+    )
+    idx.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "aml_index")
+    )
+
+
+def stitch_aml_file(
+    spark,
+    out_dir: str,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    file_name: str = "export.aml",
+    timestamp: str = "1970-01-01T00:00:00+00:00",
+) -> str:
+    """Stitch the written fragment table into the complete CAEX
+    document, streaming each hierarchy's fragments through
+    ``toLocalIterator`` in (section, root) order — driver memory is
+    bounded by one arrow batch, not the file size. Byte-identical to
+    aml_file_xml over the same fragments."""
+    import os
+
+    frag = spark.read.parquet(os.path.join(out_dir, "aml_fragments"))
+    out = _caex_header(file_name, timestamp)
+    for h in _hierarchy_order(config):
+        out.append(f"<InstanceHierarchy Name={quoteattr(h)}><Version>0.0.1</Version>")
+        part = (
+            frag.where(F.col("hierarchy") == h)
+            .select("section", "root", "xml")
+            .orderBy("section", "root")
+        )
+        for r in part.toLocalIterator():
             out.append(r.xml)
         out.append("</InstanceHierarchy>")
     out.append("</CAEXFile>")

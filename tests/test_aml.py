@@ -218,3 +218,36 @@ def test_salted_ids_unique_across_document(spark, fragments):
     ]
     assert len(aspect_ids) == len(set(aspect_ids))
     assert ids
+
+
+def test_distributed_fragment_write_and_stitch(spark, fragments, tmp_path):
+    """100-TB export path: fragments written partitioned by hierarchy
+    with an index table (no driver collect in the write), and the
+    streamed stitcher reproduces the driver-side file byte for byte."""
+    out = str(tmp_path / "aml_out")
+    aml.write_aml_fragments(fragments, out)
+
+    frag = spark.read.parquet(out + "/aml_fragments")
+    assert frag.count() == fragments.count()
+    # hierarchy is a physical partition column of the written table
+    assert any("hierarchy=" in str(p) for p in (tmp_path / "aml_out" / "aml_fragments").iterdir())
+
+    idx = spark.read.parquet(out + "/aml_index").collect()
+    by_h = {}
+    for r in idx:
+        assert r.h_order is not None  # every hierarchy has a stitch position
+        by_h.setdefault(r.hierarchy, 0)
+        by_h[r.hierarchy] += r.n_fragments
+    from collections import Counter
+
+    want = Counter(
+        r.hierarchy for r in fragments.select("hierarchy").collect()
+    )
+    assert by_h == dict(want)
+    # index totals match the fragment content stats
+    assert sum(r.n_targets for r in idx) == sum(
+        r.n_targets for r in fragments.select("n_targets").collect()
+    )
+
+    stitched = aml.stitch_aml_file(spark, out)
+    assert stitched == aml.aml_file_xml(fragments)
