@@ -126,20 +126,6 @@ def x_spans(spark, sf_dir):
     )
 
 
-def x_entity_xtargets(spark, sf_dir):
-    return _entities(spark, sf_dir)["xtargets"]
-
-
-def x_entity_connections(spark, sf_dir):
-    return _entities(spark, sf_dir)["connections"]
-
-
-def x_entity_xtarget_aspects(spark, sf_dir):
-    """W3: persisted xtarget<->aspect relation with sort_order
-    (reference db_builder/db.py:222-240)."""
-    return _entities(spark, sf_dir)["xtarget_aspects"]
-
-
 def _requests_parquet(spark, sf_dir) -> str:
     """Write the typed-request stage table once per sf dir; both the
     Spark query and the DuckDB oracle read the SAME parquet, so
@@ -318,45 +304,6 @@ def q_errors_from_rows(spark, sf_dir):
     min (url,page_no) attribution), and aspect parse failures
     (god.py:590-596; messages byte-identical)."""
     return _finisher_table(spark, sf_dir, "errors")
-
-
-def x_entity_links_pins(spark, sf_dir):
-    t = _entities(spark, sf_dir)
-    return (
-        t["links"]
-        .select(F.col("guid"), F.lit("link").alias("entity"))
-        .unionByName(t["pins"].select("guid", F.lit("pin").alias("entity")))
-    )
-
-
-def x_entity_aspects(spark, sf_dir):
-    """A3: the deduplicated aspect registry (separator, value)."""
-    return _entities(spark, sf_dir)["aspects"]
-
-
-def x_entity_object_attributes(spark, sf_dir):
-    """A1 attachments: object<->attribute relation counts per owner
-    kind (the relation itself is large; counts are a stable check)."""
-    oa = _entities(spark, sf_dir)["object_attributes"]
-    return (
-        oa.groupBy(F.substring("object_guid", 1, 1).alias("guid_prefix"))
-        .agg(F.count("*").alias("n"), F.countDistinct("attribute_guid").alias("n_attrs"))
-    )
-
-
-def x_entity_errors(spark, sf_dir):
-    """The assembly-side error channel (handler guards, invalid tags,
-    pin guards) grouped by message family."""
-    err = _entities(spark, sf_dir)["errors"]
-    family = (
-        F.when(F.col("message").startswith("Tag is invalid"), "invalid_tag")
-        .when(F.col("message").startswith("Linked connection"), "link_guard")
-        .when(F.col("message").startswith("Failed to create aspect"), "aspect")
-        .otherwise("row_skip")
-    )
-    return err.groupBy(family.alias("family"), "severity").agg(
-        F.count("*").alias("n")
-    )
 
 
 def x_metrics_errors(spark, sf_dir):
@@ -1015,52 +962,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver records the FIRST 50 entries (its record cap); order
+    is therefore deliberate. Positions 1-50 carry one check per unique
+    operator family: the golden-text parity check, the 10 end-to-end
+    finisher oracles, streaming, the relational/temporal layer, text
+    quality, the bucketed dedup/ANN production paths, and every
+    rows-only x-check for the non-SQL surfaces (AML, search,
+    multimodal, metrics). Entries BELOW the cap marker are green
+    oracled demonstrators whose operators are already pinned by a
+    stronger recorded entry (noted inline); they still run under
+    ``scripts/validate_entry.py`` (no name args = all queries), which
+    is executed each round — nothing here is silently unvalidated."""
     return {
         # reference text parity (oracled against the checked-in goldens)
         "q_extract_goldens": q_extract_goldens,
-        # relational operator layer (oracled)
-        "q_pricing_summary": q_pricing_summary,
-        "q_top_orders": q_top_orders,
-        "q_region_volume": q_region_volume,
-        "q_forward_fill": q_forward_fill,
-        "q_sessionize": q_sessionize,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_top_customers_per_nation": q_top_customers_per_nation,
-        "q_rollup": q_rollup,
-        "q_link_graph": q_link_graph,
-        "q_explode_product": q_explode_product,
-        "q_pin_chain": q_pin_chain,
-        "q_guid_hash": q_guid_hash,
-        "q_normalize": q_normalize,
-        "q_word_sweep": q_word_sweep,
-        "q_priority_merge": q_priority_merge,
-        # text analysis (oracled)
-        "q_token_counts": q_token_counts,
-        "q_quality": q_quality,
-        "q_langid": q_langid,
-        "q_gopher_rules": q_gopher_rules,
-        "q_repetition_full": q_repetition_full,
-        "q_fingerprint": q_fingerprint,
-        "q_dedup_keep_list": q_dedup_keep_list,
-        "q_connection_guid": q_connection_guid,
-        "q_tumbling_counts": q_tumbling_counts,
-        "q_stream_sessionize": q_stream_sessionize,
-        # dedup family (oracled)
-        "q_exact_dedup": q_exact_dedup,
-        "q_minhash_signature": q_minhash_signature,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_simhash_neardup": q_simhash_neardup,
-        "q_simhash_neardup_banded": q_simhash_neardup_banded,
-        "q_neardup_keep_list": q_neardup_keep_list,
-        # similarity search (oracled)
-        "q_ann_bruteforce": q_ann_bruteforce,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "q_neardup_recall": q_neardup_recall,
-        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         # assembly finishers oracled end-to-end over the staged requests
         "q_xtargets_from_rows": q_xtargets_from_rows,
         "q_connections_from_rows": q_connections_from_rows,
@@ -1072,25 +987,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xtarget_aspects_from_rows": q_xtarget_aspects_from_rows,
         "q_object_attributes_from_rows": q_object_attributes_from_rows,
         "q_errors_from_rows": q_errors_from_rows,
-        # extraction pipeline (kernel-based; rows-only check)
-        "x_extract_text": x_extract_text,
+        # streaming (oracled)
+        "q_tumbling_counts": q_tumbling_counts,
+        "q_stream_sessionize": q_stream_sessionize,
+        # relational / temporal operator layer (oracled)
+        "q_pricing_summary": q_pricing_summary,
+        "q_top_orders": q_top_orders,
+        "q_region_volume": q_region_volume,
+        "q_forward_fill": q_forward_fill,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_top_customers_per_nation": q_top_customers_per_nation,
+        "q_rollup": q_rollup,
+        "q_link_graph": q_link_graph,
+        "q_connection_guid": q_connection_guid,
+        # text analysis (oracled)
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_gopher_rules": q_gopher_rules,
+        "q_repetition_full": q_repetition_full,
+        "q_fingerprint": q_fingerprint,
+        # dedup family (oracled)
+        "q_dedup_keep_list": q_dedup_keep_list,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash": q_simhash,
+        "q_simhash_neardup_banded": q_simhash_neardup_banded,
+        "q_neardup_keep_list": q_neardup_keep_list,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "q_neardup_recall": q_neardup_recall,
+        # similarity search (oracled)
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        # rows-only x-checks for the non-SQL surfaces
         "x_spans": x_spans,
-        "x_entity_xtargets": x_entity_xtargets,
-        "x_entity_connections": x_entity_connections,
-        "x_entity_xtarget_aspects": x_entity_xtarget_aspects,
-        "x_entity_links_pins": x_entity_links_pins,
-        "x_entity_aspects": x_entity_aspects,
-        "x_entity_object_attributes": x_entity_object_attributes,
-        "x_entity_errors": x_entity_errors,
         "x_metrics_errors": x_metrics_errors,
         "x_partition_metrics": x_partition_metrics,
         "x_multimodal_features": x_multimodal_features,
-        "x_ann_lsh": x_ann_lsh,
+        "x_ann_lsh": x_ann_lsh,  # historic x_ name; carries a full value oracle
         "x_search_targets": x_search_targets,
         "x_search_connections": x_search_connections,
         "x_aml_export": x_aml_export,
         "x_aspect_tree": x_aspect_tree,
         "x_lineage_lookup": x_lineage_lookup,
+        # ---- driver record cap (50) reached: entries below are green
+        # oracled demonstrators superseded by a stronger recorded check;
+        # validated by scripts/validate_entry.py each round ----
+        "q_exact_dedup": q_exact_dedup,  # ⊂ q_dedup_keep_list
+        "q_minhash_signature": q_minhash_signature,  # pinned inside q_minhash_lsh_pairs
+        "q_ngram_jaccard": q_ngram_jaccard,  # verify stage of q_minhash_lsh_pairs
+        "q_simhash_neardup": q_simhash_neardup,  # single band ⊂ banded
+        "q_explode_product": q_explode_product,  # ⊂ q_connections_from_rows
+        "q_pin_chain": q_pin_chain,  # ⊂ q_pins_from_rows
+        "q_guid_hash": q_guid_hash,  # ⊂ every from_rows hash
+        "q_normalize": q_normalize,  # ⊂ q_fingerprint
+        "q_word_sweep": q_word_sweep,  # regex sweep ⊂ q_gopher_rules tokens
+        "q_priority_merge": q_priority_merge,  # ⊂ q_xtargets_from_rows
+        "x_extract_text": x_extract_text,  # ⊂ q_extract_goldens (value-hashed)
     }
 
 
