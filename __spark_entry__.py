@@ -731,6 +731,70 @@ def q_repetition_full(spark, sf_dir):
     )
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4-style line-level filtering over the structured rendition with
+    deterministic terminal punctuation ('.' appended to lines whose
+    md5 starts 0-7, so the line rule carries real signal): kept-line
+    count/fraction, bad-token flag, folded keep decision — all native
+    higher-order expressions, no explode."""
+    d = _t(spark, sf_dir, "documents").withColumn("s0", _structured_text())
+    lines = F.split(F.col("s0"), "\n")
+    dotted = F.transform(
+        lines,
+        lambda l: F.when(
+            (l != "") & F.substring(F.md5(l), 1, 1).isin(*"01234567"),
+            F.concat(l, F.lit(".")),
+        ).otherwise(l),
+    )
+    d = d.withColumn("s", F.array_join(dotted, "\n"))
+    t = F.col("s")
+    n_lines = F.size(ts.c4_lines(t))
+    n_kept = F.size(ts.c4_kept_lines(t))
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.when(n_lines <= 0, F.lit(0.0))
+        .otherwise(F.round(n_kept / n_lines.cast("double"), 6))
+        .alias("kept_frac"),
+        ts.c4_bad_token(t).cast("int").alias("bad_token"),
+        ts.c4_keep(t).cast("int").alias("keep"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: deterministic synthetic PII (emails,
+    IPv4, international phones derived from doc_id) is injected, then
+    counted and redacted to <KIND> placeholders; the scrubbed text is
+    md5'd so the oracle pins the exact redaction output."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" from 10.1."), (did % 200).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +4930"), F.lpad((did % 10000).cast("string"), 5, "0")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn("s", injected)
+    t = F.col("s")
+    return d.select(
+        "doc_id",
+        ts.pii_count(t, "EMAIL").alias("n_emails"),
+        ts.pii_count(t, "IPV4").alias("n_ips"),
+        ts.pii_count(t, "PHONE").alias("n_phones"),
+        F.md5(ts.pii_redact(t)).alias("scrub_md5"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
@@ -834,6 +898,24 @@ def q_stream_sessionize(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qn)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram overlap): every 10th document
+    is the deterministic 'benchmark' set; training docs are flagged by
+    the fraction of their distinct n-gram hashes that appear in it.
+    n=4 here so the short synthetic docs produce partial overlaps (75
+    nonzero fractions, 6 drops at sf0.01) — production uses 8-13.
+    Bench grams broadcast; the 100-TB side never shuffles its gram
+    explosion (operators/decontam.py)."""
+    from indu_doc_transformer_spark.operators import decontam as dc
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    return dc.ngram_contamination(
+        train, bench, "doc_id", "text", n=4, max_frac=0.2
+    ).withColumnRenamed("id", "doc_id")
 
 
 def q_minhash_signature(spark, sf_dir):
@@ -993,7 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / temporal operator layer (oracled)
         "q_pricing_summary": q_pricing_summary,
         "q_top_orders": q_top_orders,
-        "q_region_volume": q_region_volume,
         "q_forward_fill": q_forward_fill,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
@@ -1008,11 +1089,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_full": q_repetition_full,
-        "q_fingerprint": q_fingerprint,
-        # dedup family (oracled)
+        "q_c4_rules": q_c4_rules,
+        "q_pii_scrub": q_pii_scrub,
+        # dedup / decontamination family (oracled)
         "q_dedup_keep_list": q_dedup_keep_list,
+        "q_decontaminate": q_decontaminate,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "q_simhash": q_simhash,
         "q_simhash_neardup_banded": q_simhash_neardup_banded,
         "q_neardup_keep_list": q_neardup_keep_list,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1035,6 +1117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver record cap (50) reached: entries below are green
         # oracled demonstrators superseded by a stronger recorded check;
         # validated by scripts/validate_entry.py each round ----
+        "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
+        "q_simhash": q_simhash,  # signature SQL ⊂ q_simhash_neardup_banded
+        "q_region_volume": q_region_volume,  # broadcast-chain ⊂ q_top_orders + plan test
         "q_exact_dedup": q_exact_dedup,  # ⊂ q_dedup_keep_list
         "q_minhash_signature": q_minhash_signature,  # pinned inside q_minhash_lsh_pairs
         "q_ngram_jaccard": q_ngram_jaccard,  # verify stage of q_minhash_lsh_pairs
@@ -1551,6 +1636,109 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
+        """,
+        "q_c4_rules": f"""
+            WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s0 AS (
+              SELECT doc_id,
+                     replace(
+                       array_to_string(
+                         list_transform(
+                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
+                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
+                                || chr(10) ||
+                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
+                         chr(10) || chr(10)),
+                       'hash', '#') AS s0
+              FROM t0
+            ),
+            d AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(regexp_split_to_array(s0, '\\n'),
+                         l -> CASE WHEN l != '' AND substr(md5(l), 1, 1)
+                                        IN ('0','1','2','3','4','5','6','7')
+                                   THEN l || '.' ELSE l END),
+                       chr(10)) AS s
+              FROM s0
+            ),
+            m AS (
+              SELECT doc_id, s,
+                     list_filter(list_transform(regexp_split_to_array(s, '\\n'), x -> trim(x)), x -> x != '') AS lines
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id,
+                     cast(len(lines) as int) AS n_lines,
+                     cast(len(list_filter(lines,
+                         l -> regexp_matches(l, '[.!?\"]$')
+                              AND len(regexp_split_to_array(l, '\\s+')) >= 3)) as int) AS n_kept,
+                     CASE WHEN contains(lower(s), '{{') OR contains(lower(s), 'lorem ipsum')
+                               OR contains(lower(s), 'javascript') THEN 1 ELSE 0 END AS bad_token
+              FROM m
+            )
+            SELECT doc_id, n_lines, n_kept,
+                   CASE WHEN n_lines <= 0 THEN 0.0
+                        ELSE round(n_kept / cast(n_lines as double), 6) END AS kept_frac,
+                   bad_token,
+                   CASE WHEN n_kept >= 3
+                             AND (CASE WHEN n_lines <= 0 THEN 0.0
+                                       ELSE n_kept / cast(n_lines as double) END) >= 0.5
+                             AND bad_token = 0
+                        THEN 1 ELSE 0 END AS keep
+            FROM r
+        """,
+        "q_pii_scrub": """
+            WITH d AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0 THEN ' contact user' || cast(doc_id as varchar) || '@example.com' ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN ' from 10.1.' || cast(doc_id % 200 as varchar) || '.7' ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0 THEN ' call +4930' || lpad(cast(doc_id % 10000 as varchar), 5, '0') ELSE '' END AS s
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+                   len(regexp_extract_all(s, '\\+\\d{7,15}')) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+                       '\\+\\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
+            FROM d
+        """,
+        "q_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 4 THEN
+                       list_transform(generate_series(1, len(toks) - 3),
+                         i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+                       ELSE CAST([] AS VARCHAR[]) END) AS grams
+              FROM t
+            ),
+            train AS (SELECT doc_id, grams FROM g WHERE doc_id % 10 != 0),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+            ),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n_contaminated
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM train) e
+              JOIN bench USING (gram)
+              GROUP BY e.doc_id
+            ),
+            m AS (
+              SELECT train.doc_id,
+                     cast(len(train.grams) as int) AS n_grams,
+                     cast(coalesce(hits.n_contaminated, 0) as bigint) AS n_contaminated,
+                     CASE WHEN len(train.grams) <= 0 THEN 0.0
+                          ELSE round(coalesce(hits.n_contaminated, 0)
+                                     / cast(len(train.grams) as double), 6) END AS contam_frac
+              FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+            )
+            SELECT doc_id, n_grams, n_contaminated, contam_frac,
+                   CASE WHEN contam_frac <= 0.2 THEN 1 ELSE 0 END AS keep
+            FROM m
         """,
         "q_dedup_keep_list": """
             WITH d AS (

@@ -1,0 +1,79 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set — the standard contamination check a
+large-scale training-data pipeline runs before training (n-gram overlap
+flagging, as popularized by GPT-3/PaLM data cards).
+
+Scale design (100 TB): the benchmark side is always small (thousands of
+eval documents), so its distinct gram set is broadcast and the training
+side joins map-side — no shuffle of the 100-TB gram explosion. The only
+wide operations are the per-document aggregation of hit counts (one
+shuffle keyed by doc id) and the benchmark distinct (tiny). Grams are
+md5-hashed before the join so the broadcast carries 32-byte keys, not
+raw n-gram text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _distinct_grams(text, n: int):
+    """Distinct whitespace-token n-grams of a text column, md5-hashed."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_frac: float = 0.2,
+) -> DataFrame:
+    """Per training document: the fraction of its distinct n-grams that
+    appear anywhere in the benchmark set, plus the keep decision.
+
+    Returns (id, n_grams, n_contaminated, contam_frac, keep). Documents
+    shorter than ``n`` tokens have zero grams and count as clean.
+    """
+    tg = train.select(
+        F.col(id_col).alias("id"), _distinct_grams(F.col(text_col), n).alias("grams")
+    )
+    totals = tg.select("id", F.size("grams").alias("n_grams"))
+    exploded = tg.select("id", F.explode("grams").alias("gram"))
+    bg = (
+        bench.select(F.explode(_distinct_grams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        exploded.join(broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    out = totals.join(hits, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.when(F.col("n_grams") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            )
+        )
+        .alias("contam_frac"),
+    )
+    return out.withColumn(
+        "keep", (F.col("contam_frac") <= max_frac).cast("int")
+    )

@@ -256,6 +256,78 @@ def repetition_keep(
     return (top2 <= max2) & (top3 <= max3) & (top4 <= max4)
 
 
+_C4_TERMINAL_RE = r'[.!?"]$'
+_C4_BAD_TOKENS = ("{", "lorem ipsum", "javascript")
+
+
+def c4_lines(c: Column) -> Column:
+    """Non-empty trimmed lines (the C4 unit of filtering)."""
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)), lambda t: t != ""
+    )
+
+
+def c4_kept_lines(c: Column, min_words: int = 3) -> Column:
+    """C4 line rule: keep lines ending in terminal punctuation with at
+    least ``min_words`` words (C4 uses 5 on prose; renditions with
+    3-token lines use 3)."""
+    return F.filter(
+        c4_lines(c),
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(l, r"\s+")) >= min_words),
+    )
+
+
+def c4_bad_token(c: Column) -> Column:
+    """C4 document rule: drop documents containing code/boilerplate
+    markers (curly brace, 'lorem ipsum', 'javascript')."""
+    low = F.lower(c)
+    flag = F.lit(False)
+    for tok in _C4_BAD_TOKENS:
+        flag = flag | low.contains(tok)
+    return flag
+
+
+def c4_keep(
+    c: Column, min_kept: int = 3, min_frac: float = 0.5, min_words: int = 3
+) -> Column:
+    """Folded C4 keep decision: enough kept lines, majority of lines
+    kept, no bad tokens."""
+    n_lines = F.size(c4_lines(c))
+    n_kept = F.size(c4_kept_lines(c, min_words))
+    frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        n_kept / n_lines.cast("double")
+    )
+    return (n_kept >= min_kept) & (frac >= min_frac) & ~c4_bad_token(c)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing pass)
+# ---------------------------------------------------------------------------
+
+# portable across Java regex and RE2 (no lookbehind/backrefs)
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d{7,15}"),
+)
+
+
+def pii_count(c: Column, kind: str) -> Column:
+    pat = dict(PII_PATTERNS)[kind]
+    return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+
+
+def pii_redact(c: Column) -> Column:
+    """Replace every PII match with its <KIND> placeholder, in pattern
+    order (emails first so their dotted domains never half-match the
+    IPv4 rule)."""
+    out = c
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""

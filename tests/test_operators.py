@@ -449,3 +449,61 @@ def test_streaming_extract_incremental(spark, tmp_path):
     stream_extract(spark, src, out, cp)
     n2 = spark.read.parquet(out).count()
     assert n2 == 45
+
+
+def test_decontamination_properties(spark):
+    """n-gram decontamination: an exact copy of a benchmark doc is 100%
+    contaminated and dropped; disjoint docs are clean; docs shorter
+    than n have zero grams and count as clean."""
+    from indu_doc_transformer_spark.operators.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact copy
+            (2, "one two three four five six seven"),     # disjoint
+            (3, "alpha beta gamma delta nope nope nope"), # partial overlap
+            (4, "too short"),                              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in ngram_contamination(train, bench, "doc_id", "text", n=4).collect()
+    }
+    assert out[1].contam_frac == 1.0 and out[1].keep == 0
+    assert out[2].contam_frac == 0.0 and out[2].keep == 1
+    assert 0.0 < out[3].contam_frac < 1.0
+    assert out[4].n_grams == 0 and out[4].contam_frac == 0.0 and out[4].keep == 1
+
+
+def test_pii_redaction(spark):
+    """PII scrub: every pattern redacted, clean text untouched."""
+    import pyspark.sql.functions as F
+
+    from indu_doc_transformer_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c@sub.example.org now"),
+            (2, "server 192.168.0.1 and phone +4915112345678"),
+            (3, "nothing personal here"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            ts.pii_count(F.col("text"), "EMAIL").alias("e"),
+            ts.pii_count(F.col("text"), "IPV4").alias("i"),
+            ts.pii_count(F.col("text"), "PHONE").alias("p"),
+            ts.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].red) == (1, "mail me at <EMAIL> now")
+    assert out[2].i == 1 and out[2].p == 1
+    assert out[2].red == "server <IPV4> and phone <PHONE>"
+    assert out[3].red == "nothing personal here"
