@@ -72,3 +72,30 @@ def test_whole_stage_codegen_in_relational_layer(spark, sf_dir="/root/testdata/s
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
     assert "*(" in plan
+
+
+def test_decontamination_broadcasts_bench_grams(spark, sf_dir="/root/testdata/sf0.001"):
+    """The benchmark gram set must broadcast — the training-side gram
+    explosion (the 100-TB side) must never shuffle into a sort-merge
+    join."""
+    import __spark_entry__ as entry
+
+    df = entry.q_decontaminate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_quality_layer_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
+    """Gopher/C4/PII/repetition queries must compile to pure JVM
+    expressions: zero Python evaluation nodes in the physical plan."""
+    import __spark_entry__ as entry
+
+    for q in ("q_gopher_rules", "q_c4_rules", "q_pii_scrub", "q_repetition_full"):
+        plan = (
+            entry.queries()[q](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
