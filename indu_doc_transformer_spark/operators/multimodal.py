@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-``decode_image`` REALLY decodes 24-bit uncompressed BMP (pure Python —
-no codec dependency) and yields deterministic pixel-statistics
-features; a corrupt payload raises and becomes ``decode_ok=False``.
-Audio/video decode stays STUBBED (ffmpeg is not in this container):
-NotImplementedError unless ``fake=True``, in which case a
-deterministic md5-based feature vector stands in. The Spark-side
-plumbing — schemas, Arrow batch shape, ``mapInPandas`` signature,
-partitioning — is identical for real and stubbed codecs.
+``decode_image`` REALLY decodes 24-bit uncompressed BMP and
+``decode_audio`` REALLY decodes RIFF/WAVE 16-bit PCM (both pure
+Python — no codec dependency), yielding deterministic pixel/waveform
+statistics features; a corrupt payload raises and becomes
+``decode_ok=False``. Compressed image/audio and all video decode stay
+STUBBED (PIL/ffmpeg are not in this container): NotImplementedError
+unless ``fake=True``, in which case a deterministic md5-based feature
+vector stands in. The Spark-side plumbing — schemas, Arrow batch
+shape, ``mapInPandas`` signature, partitioning — is identical for real
+and stubbed codecs.
 """
 
 from __future__ import annotations
@@ -111,11 +113,103 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return [h_[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE 16-bit mono PCM writer (synthetic corpus +
+    tests). ``samples`` are signed 16-bit ints."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """Pure-Python RIFF/WAVE 16-bit mono PCM parser. Returns
+    (sample_rate, n_samples, [rms, peak, zero_cross_rate, mean]) with
+    amplitudes normalized to [-1, 1]. Raises ValueError on anything
+    malformed or non-PCM."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_code} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    if n == 0:
+        raise ValueError("empty data chunk")
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    peak = max(abs(s) for s in samples) / 32768.0
+    mean = sum(samples) / n / 32768.0
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+    zcr = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    ) / max(n - 1, 1)
+    return rate, n, [rms, peak, zcr, mean]
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
+    """FEATURE_DIM floats from a real PCM WAV decode: (rate/48k,
+    duration/60s, rms, peak, zcr, mean, samples/1e6, fill). A non-RIFF
+    payload falls back to the deterministic md5 fake when ``fake=True``
+    (stand-in for compressed codecs), else raises."""
+    try:
+        rate, n, stats = decode_wav(bytes(payload))
+        return [
+            min(rate / 48000.0, 1.0),
+            min(n / rate / 60.0, 1.0),
+            *stats,
+            min(n / 1e6, 1.0),
+            1.0,
+        ]
+    except ValueError:
+        if bytes(payload)[:4] == b"RIFF":
+            raise  # corrupt WAV: a real decode failure, not another codec
+        if not fake:
+            raise NotImplementedError(
+                "compressed audio decode requires ffmpeg; run with fake=True"
+            )
+        h_ = hashlib.md5(payload).digest()
+        return [h_[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def decode_video(payload: bytes, fake: bool = False) -> list[float]:
+    """Video decode is honestly STUBBED (no codecs in this container):
+    NotImplementedError unless ``fake=True`` (deterministic md5
+    stand-in keeps the Spark plumbing real and testable)."""
+    if not fake:
+        raise NotImplementedError("video decode requires ffmpeg; run with fake=True")
+    h_ = hashlib.md5(payload).digest()
+    return [h_[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
 def synth_media_df(spark, n: int = 64, corrupt_every: int = 0) -> DataFrame:
     """Deterministic media table: image rows carry REAL 24-bit BMP
-    payloads (gradient pattern seeded by id); audio/video carry opaque
-    bytes for the stub path. ``corrupt_every`` > 0 plants truncated
-    BMPs at that interval to exercise decode_ok=False."""
+    payloads (gradient pattern seeded by id), audio rows carry REAL
+    16-bit PCM WAV payloads (sawtooth seeded by id); video carries
+    opaque bytes for the stub path. ``corrupt_every`` > 0 plants
+    truncated BMPs at that interval to exercise decode_ok=False."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -127,9 +221,13 @@ def synth_media_df(spark, n: int = 64, corrupt_every: int = 0) -> DataFrame:
             if corrupt_every and i % corrupt_every == 0:
                 payload = payload[: len(payload) // 2]  # truncated pixel data
             meta = (w, h, None, None)
+        elif kind == "audio":
+            samples = [((j * (37 + i)) % 2048 - 1024) * 16 for j in range(160)]
+            payload = encode_wav(16000, samples)
+            meta = (None, None, 16000, 10)
         else:
             payload = hashlib.md5(f"media:{i}".encode()).digest() * 4
-            meta = (None, None, 16000 if kind == "audio" else None, 1000 + i)
+            meta = (None, None, None, 1000 + i)
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -142,12 +240,15 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     large), per-row failures become decode_ok=False rows, never task
     failures."""
 
+    decoders = {"image": decode_image, "audio": decode_audio, "video": decode_video}
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, ok = [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 try:
-                    feats.append(decode_image(bytes(payload), fake=fake))
+                    dec = decoders.get(kind, decode_video)
+                    feats.append(dec(bytes(payload), fake=fake))
                     ok.append(True)
                 except (NotImplementedError, ValueError):
                     # stubbed codec or corrupt payload: a per-row

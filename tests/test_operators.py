@@ -306,11 +306,17 @@ def test_multimodal_plumbing(spark):
     assert (w, h) == (8, 8)
     # feature column is float32: compare with float tolerance
     assert img[2:6] == pytest.approx(rgb_luma, rel=1e-5)
-    # audio rows fall back to the deterministic md5 stand-in
-    ha = hashlib.md5(hashlib.md5(b"media:1").digest() * 4).digest()
-    fa = [ha[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    # audio rows go through the REAL WAV PCM decode: feature = waveform stats
+    samples = [((j * 38) % 2048 - 1024) * 16 for j in range(160)]
+    rate, ns, stats = mm.decode_wav(mm.encode_wav(16000, samples))
+    assert (rate, ns) == (16000, 160)
     got = next(r.feature for r in feats if r.media_id == 1)
-    assert list(got) == pytest.approx(fa, rel=1e-5)
+    assert list(got[2:6]) == pytest.approx(stats, rel=1e-5)
+    # video rows fall back to the deterministic md5 stand-in
+    hv = hashlib.md5(hashlib.md5(b"media:2").digest() * 4).digest()
+    fv = [hv[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    got_v = next(r.feature for r in feats if r.media_id == 2)
+    assert list(got_v) == pytest.approx(fv, rel=1e-5)
 
 
 def test_bmp_roundtrip_exact():
@@ -343,6 +349,24 @@ def test_multimodal_decode_stub_raises():
     with pytest.raises(ValueError):
         # a corrupt BMP raises even with fake=True (real decode failure)
         mm.decode_image(mm.encode_bmp(4, 4, lambda x, y: (1, 2, 3))[:20], fake=True)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04compressed", fake=False)  # non-RIFF → stub
+    with pytest.raises(ValueError):
+        # a corrupt WAV raises even with fake=True (real decode failure)
+        mm.decode_audio(mm.encode_wav(8000, [1, 2, 3, 4])[:30], fake=True)
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"anything", fake=False)
+
+
+def test_wav_roundtrip_exact():
+    """Constant/alternating waveforms decode to exact stats."""
+    rate, n, (rms, peak, zcr, mean) = mm.decode_wav(mm.encode_wav(8000, [16384] * 100))
+    assert (rate, n) == (8000, 100)
+    assert (rms, peak, mean) == pytest.approx([0.5, 0.5, 0.5]) and zcr == 0.0
+    _, _, (_, _, zcr2, mean2) = mm.decode_wav(
+        mm.encode_wav(8000, [16384, -16384] * 50)
+    )
+    assert zcr2 == pytest.approx(1.0) and mean2 == 0.0
 
 
 def test_multimodal_resize_and_frames(spark):
