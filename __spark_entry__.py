@@ -918,6 +918,20 @@ def q_decontaminate(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The full curation composition in one job (operators/curation.py):
+    exact-dedup survivor, Gopher quality, n-gram repetition, benchmark
+    decontamination — per-document flag vector + folded keep. Every
+    stage keeps its scale shape (fp window / per-row expressions / one
+    explode + two aggs / broadcast bench join)."""
+    from indu_doc_transformer_spark.operators import curation as cur
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    return cur.curate(train, bench).withColumnRenamed("id", "doc_id")
+
+
 def q_minhash_signature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = dd.minhash_signature(dd.word_shingles(F.col("text"), 3), 16)
@@ -1086,7 +1100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (oracled)
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
-        "q_langid": q_langid,
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_full": q_repetition_full,
         "q_c4_rules": q_c4_rules,
@@ -1094,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / decontamination family (oracled)
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_decontaminate": q_decontaminate,
+        "q_curation_funnel": q_curation_funnel,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_neardup_banded": q_simhash_neardup_banded,
         "q_neardup_keep_list": q_neardup_keep_list,
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver record cap (50) reached: entries below are green
         # oracled demonstrators superseded by a stronger recorded check;
         # validated by scripts/validate_entry.py each round ----
+        "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
         "q_simhash": q_simhash,  # signature SQL ⊂ q_simhash_neardup_banded
         "q_region_volume": q_region_volume,  # broadcast-chain ⊂ q_top_orders + plan test
@@ -1706,6 +1721,86 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
                        '\\+\\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
             FROM d
+        """,
+        "q_curation_funnel": f"""
+            WITH tr AS (
+              SELECT doc_id, text, {_TOKS} AS toks
+              FROM documents WHERE doc_id % 10 != 0
+            ),
+            ded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY {_sql_md5_uuid(_NORM)})
+                          THEN 1 ELSE 0 END AS dedup_keep
+              FROM tr
+            ),
+            gop AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 5
+                          AND cast(floor(list_sum(list_transform(toks, x -> length(x))) * 100.0 / len(toks)) as bigint) <= 1000
+                          AND round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / cast(len(toks) as double), 6) >= 0.6
+                          AND (CASE WHEN len(lines) <= 0 THEN 0.0
+                                    ELSE round((len(lines) - len(list_distinct(lines))) / cast(len(lines) as double), 6) END) <= 0.3
+                          AND (CASE WHEN len(paras) <= 0 THEN 0.0
+                                    ELSE round((len(paras) - len(list_distinct(paras))) / cast(len(paras) as double), 6) END) <= 0.3
+                          AND round(len(regexp_extract_all(text, '\\.{{3}}|[#…]')) / cast(len(toks) as double), 6) <= 0.1
+                          THEN 1 ELSE 0 END AS gopher_keep
+              FROM (
+                SELECT doc_id, text, toks,
+                       list_filter(list_transform(regexp_split_to_array(text, '\\n'), x -> trim(x)), x -> x != '') AS lines,
+                       list_filter(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), x -> trim(x)), x -> x != '') AS paras
+                FROM tr
+              )
+            ),
+            rg AS (
+              SELECT doc_id, cast(len(toks) as bigint) AS ntok, n,
+                     unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+              FROM tr, (SELECT unnest([2, 3, 4]) AS n) ns
+              WHERE len(toks) >= n
+            ),
+            rc AS (SELECT doc_id, ntok, n, gram, count(*) AS cnt FROM rg GROUP BY ALL),
+            rt AS (SELECT doc_id, ntok, n, max(cnt) AS top_cnt FROM rc GROUP BY ALL),
+            rep AS (
+              SELECT doc_id,
+                     CASE WHEN round(coalesce(max(CASE WHEN n = 2 THEN top_cnt / cast(ntok - 1 as double) END), 0.0), 6) <= 0.2
+                           AND round(coalesce(max(CASE WHEN n = 3 THEN top_cnt / cast(ntok - 2 as double) END), 0.0), 6) <= 0.18
+                           AND round(coalesce(max(CASE WHEN n = 4 THEN top_cnt / cast(ntok - 3 as double) END), 0.0), 6) <= 0.16
+                          THEN 1 ELSE 0 END AS rep_keep
+              FROM rt GROUP BY doc_id
+            ),
+            ag AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) >= 4 THEN
+                       list_transform(generate_series(1, len(toks) - 3),
+                         i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+                       ELSE CAST([] AS VARCHAR[]) END) AS grams
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            ),
+            bgr AS (SELECT DISTINCT unnest(grams) AS gram FROM ag WHERE doc_id % 10 = 0),
+            hits AS (
+              SELECT e.doc_id, count(*) AS nc
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM ag WHERE doc_id % 10 != 0) e
+              JOIN bgr USING (gram) GROUP BY e.doc_id
+            ),
+            dec AS (
+              SELECT ag.doc_id,
+                     CASE WHEN (CASE WHEN len(ag.grams) <= 0 THEN 0.0
+                                     ELSE round(coalesce(hits.nc, 0) / cast(len(ag.grams) as double), 6) END) <= 0.2
+                          THEN 1 ELSE 0 END AS decon_keep
+              FROM ag LEFT JOIN hits ON ag.doc_id = hits.doc_id
+              WHERE ag.doc_id % 10 != 0
+            )
+            SELECT ded.doc_id, ded.dedup_keep, gop.gopher_keep,
+                   coalesce(rep.rep_keep, 1) AS rep_keep,
+                   coalesce(dec.decon_keep, 1) AS decon_keep,
+                   CASE WHEN ded.dedup_keep = 1 AND gop.gopher_keep = 1
+                             AND coalesce(rep.rep_keep, 1) = 1
+                             AND coalesce(dec.decon_keep, 1) = 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM ded
+            JOIN gop ON ded.doc_id = gop.doc_id
+            LEFT JOIN rep ON ded.doc_id = rep.doc_id
+            LEFT JOIN dec ON ded.doc_id = dec.doc_id
         """,
         "q_decontaminate": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -531,3 +531,39 @@ def test_pii_redaction(spark):
     assert out[2].i == 1 and out[2].p == 1
     assert out[2].red == "server <IPV4> and phone <PHONE>"
     assert out[3].red == "nothing personal here"
+
+
+def test_curation_funnel_stages(spark):
+    """Each funnel stage drops exactly its target: duplicate copy,
+    low-quality doc, repetitive doc, benchmark-contaminated doc; the
+    clean doc survives every stage."""
+    from indu_doc_transformer_spark.operators import curation as cur
+
+    clean = "the quick brown fox jumps over lazy dogs today fine"
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, clean),                      # exact duplicate of 1
+            (3, "tiny"),                     # < 5 words -> gopher drop
+            (4, "spam ham " * 20),           # top-bigram ~0.5 -> repetition drop
+            # long enough that the repetition thresholds pass (1/12
+            # top-4-gram fraction), contaminated enough to be dropped
+            # (4 of 12 distinct 4-grams are benchmark grams)
+            (5, "well this intro leads into secret eval benchmark phrase appears here exactly and then ends"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "secret eval benchmark phrase appears here exactly")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in cur.curate(docs, bench).collect()}
+    assert (out[1].dedup_keep, out[1].keep) == (1, 1)
+    assert (out[2].dedup_keep, out[2].keep) == (0, 0)
+    assert (out[3].gopher_keep, out[3].rep_keep, out[3].decon_keep) == (0, 1, 1)
+    assert (out[4].gopher_keep, out[4].rep_keep) == (1, 0)
+    assert (out[5].decon_keep, out[5].dedup_keep, out[5].rep_keep) == (0, 1, 1)
+    stats = cur.funnel_stats(cur.curate(docs, bench)).first()
+    assert (stats.total, stats.kept) == (5, 1)
+    assert (stats.drop_dedup, stats.drop_gopher, stats.drop_repetition,
+            stats.drop_decontam) == (1, 1, 1, 1)
