@@ -796,10 +796,12 @@ def q_pii_scrub(spark, sf_dir):
 
 
 def q_token_shards(spark, sf_dir):
-    """Training-shard packing: docs laid out in id order, one shard per
-    2000 whitespace tokens, docs never split (textstats.token_shards)."""
+    """Training-shard packing via the SCALABLE two-pass prefix sum
+    (parallel per-partition windows + broadcast subtotal offsets,
+    textstats.token_shards_scalable) — value-identical to the
+    single-window SQL oracle for any partition bounds."""
     d = _t(spark, sf_dir, "documents")
-    return ts.token_shards(d, "doc_id", "text", 2000).withColumnRenamed(
+    return ts.token_shards_scalable(d, "doc_id", "text", 2000).withColumnRenamed(
         "id", "doc_id"
     )
 
@@ -925,6 +927,18 @@ def q_decontaminate(spark, sf_dir):
     return dc.ngram_contamination(
         train, bench, "doc_id", "text", n=4, max_frac=0.2
     ).withColumnRenamed("id", "doc_id")
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style GLOBAL line dedup over the structured rendition: each
+    distinct line survives only at its first corpus-wide occurrence
+    (row_number window on the line), documents rebuilt from surviving
+    lines (dedup.line_dedup). Near-dup documents lose their repeated
+    lines, so the check carries heavy signal."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _structured_text().alias("s")
+    )
+    return dd.line_dedup(d, "doc_id", "s").withColumnRenamed("id", "doc_id")
 
 
 def q_curation_funnel(spark, sf_dir):
@@ -1093,7 +1107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_object_attributes_from_rows": q_object_attributes_from_rows,
         "q_errors_from_rows": q_errors_from_rows,
         # streaming (oracled)
-        "q_tumbling_counts": q_tumbling_counts,
         "q_stream_sessionize": q_stream_sessionize,
         # relational / temporal operator layer (oracled)
         "q_pricing_summary": q_pricing_summary,
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_shards": q_token_shards,
         # dedup / decontamination family (oracled)
         "q_dedup_keep_list": q_dedup_keep_list,
+        "q_line_dedup": q_line_dedup,
         "q_decontaminate": q_decontaminate,
         "q_curation_funnel": q_curation_funnel,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1141,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled demonstrators superseded by a stronger recorded check;
         # validated by scripts/validate_entry.py each round ----
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
+        "q_tumbling_counts": q_tumbling_counts,  # event-time windowing ⊂ q_stream_sessionize
         "q_connection_guid": q_connection_guid,  # char-exploded hash ⊂ q_connections_from_rows
         "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
         "q_simhash": q_simhash,  # signature SQL ⊂ q_simhash_neardup_banded
@@ -1741,6 +1756,37 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
                        '\\+\\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
             FROM d
+        """,
+        "q_line_dedup": f"""
+            WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s0 AS (
+              SELECT doc_id,
+                     replace(
+                       array_to_string(
+                         list_transform(
+                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
+                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
+                                || chr(10) ||
+                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
+                         chr(10) || chr(10)),
+                       'hash', '#') AS s
+              FROM t0
+            ),
+            l AS (
+              SELECT doc_id, u.pos - 1 AS pos, u.line
+              FROM s0,
+                   unnest(list_transform(regexp_split_to_array(s, '\\n'),
+                                         (x, i) -> struct_pack(line := x, pos := i))) AS t(u)
+              WHERE trim(u.line) != ''
+            ),
+            f AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+              FROM l
+            )
+            SELECT doc_id, cast(count(*) as bigint) AS n_lines,
+                   md5(array_to_string(list(line ORDER BY pos), chr(10))) AS text_md5
+            FROM f WHERE rn = 1 GROUP BY doc_id
         """,
         "q_curation_funnel": f"""
             WITH tr AS (

@@ -533,3 +533,36 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style global line-level deduplication: every distinct line
+    keeps only its FIRST occurrence corpus-wide (lowest (doc id, line
+    position) via one row_number window), and documents are rebuilt
+    from their surviving lines in original order. Documents whose every
+    line was seen earlier vanish from the output.
+
+    Scale: one shuffle keyed by the line text (the dedup window — at
+    100 TB hash the line to a 16-byte key first if line lengths are
+    adversarial), one shuffle keyed by doc id (the rebuild). Returns
+    (id, n_lines, text_md5)."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).where(F.trim("line") != "")
+    w = Window.partitionBy("line").orderBy("id", "pos")
+    first = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return first.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("text_md5"),
+    )

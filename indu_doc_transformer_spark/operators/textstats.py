@@ -356,6 +356,51 @@ def token_shards(df, id_col: str, text_col: str, tokens_per_shard: int):
     )
 
 
+def token_shards_scalable(
+    df, id_col: str, text_col: str, tokens_per_shard: int, partitions: int = 0
+):
+    """The 100-TB variant of ``token_shards``: a distributed prefix sum.
+    Range-partition by id (range partitioner keeps partition ids in key
+    order), compute per-partition running sums in PARALLEL windows,
+    collect only the per-partition subtotals (one row per partition —
+    bounded by cluster size, not data size), and broadcast them back as
+    offsets. Output is identical to the single-window version for any
+    partition bounds."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    n = ws_token_count(F.col(text_col)).cast("long")
+    base = (
+        df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+        .repartitionByRange(p, F.col("id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = base.withColumn("_cum", F.sum("n_tokens").over(w)).localCheckpoint()
+    # tiny driver collect: one subtotal per partition (cluster-sized)
+    totals = base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    acc, offsets = 0, {}
+    for r in sorted(totals, key=lambda r: r._pid):
+        offsets[int(r._pid)] = acc
+        acc += r.t
+    off_map = F.create_map(
+        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    return base.select(
+        "id",
+        "n_tokens",
+        F.floor(
+            (F.col("_cum") - F.col("n_tokens") + off_map[F.col("_pid")])
+            / tokens_per_shard
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""

@@ -567,3 +567,49 @@ def test_curation_funnel_stages(spark):
     assert (stats.total, stats.kept) == (5, 1)
     assert (stats.drop_dedup, stats.drop_gopher, stats.drop_repetition,
             stats.drop_decontam) == (1, 1, 1, 1)
+
+
+def test_token_shards_scalable_equals_direct(spark):
+    """The distributed two-pass prefix sum must match the single-window
+    layout exactly, for any partition count; shards respect the budget
+    boundary rule (shard = floor(tokens-before / budget))."""
+    from indu_doc_transformer_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    direct = {r.id: (r.n_tokens, r.shard_id)
+              for r in ts.token_shards(docs, "doc_id", "text", 50).collect()}
+    for p in (1, 3, 16):
+        two_pass = {
+            r.id: (r.n_tokens, r.shard_id)
+            for r in ts.token_shards_scalable(docs, "doc_id", "text", 50, p).collect()
+        }
+        assert two_pass == direct, p
+    # boundary rule: cumulative-before // 50
+    cum = 0
+    for i in range(200):
+        n, s = direct[i]
+        assert s == cum // 50
+        cum += n
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Global line dedup keeps each line's first (doc, position)
+    occurrence; later docs lose repeated lines; fully-absorbed docs
+    vanish."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nbeta two\ngamma three"),
+            (2, "beta two\ndelta four"),       # loses 'beta two'
+            (3, "alpha one\ngamma three"),     # fully absorbed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dd.line_dedup(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_lines == 3
+    assert out[2].n_lines == 1
+    import hashlib
+    assert out[2].text_md5 == hashlib.md5(b"delta four").hexdigest()
