@@ -886,11 +886,18 @@ def q_stream_sessionize(spark, sf_dir):
     oracle reproduces exactly that: gaps-and-islands sessions minus
     trailing sessions the watermark has not yet flushed."""
     import os
+    import shutil
     import tempfile
     import uuid
 
     from indu_doc_transformer_spark.streaming.stream import stream_sessionize
 
+    # one stream run per (app, sf_dir): the memory sink lives in driver
+    # memory, so repeated invocations reuse the first sink instead of
+    # accumulating uuid-named tables and checkpoint tempdirs
+    rkey = (spark.sparkContext.applicationId, sf_dir, "stream_sess_result")
+    if rkey in _CACHE:
+        return spark.table(_CACHE[rkey])
     name = os.path.basename(sf_dir.rstrip("/"))
     src = f"/tmp/indu_spark_oracle/events_stream_{name}"
     key = (spark.sparkContext.applicationId, sf_dir, "events_stream")
@@ -898,16 +905,20 @@ def q_stream_sessionize(spark, sf_dir):
         _t(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
         _CACHE[key] = src
     qn = "stream_sess_" + uuid.uuid4().hex[:8]
+    cp = tempfile.mkdtemp(prefix="stream_sess_cp_")
     q = (
         stream_sessionize(spark, src, gap_seconds=300)
         .writeStream.format("memory")
         .queryName(qn)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sess_cp_"))
+        .option("checkpointLocation", cp)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # one-shot availableNow run: the checkpoint has no further use
+    shutil.rmtree(cp, ignore_errors=True)
+    _CACHE[rkey] = qn
     return spark.table(qn)
 
 
@@ -1177,6 +1188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL. Shared fragments:
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# DuckDB mirror of _structured_text() (3-token lines, 6-token
+# paragraphs, hash->#) — ONE definition shared by every oracle that
+# needs the rendition, so a change can't silently diverge per-oracle.
+# Expects a `toks` column in scope.
+_RENDITION = """replace(
+                       array_to_string(
+                         list_transform(
+                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
+                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
+                                || chr(10) ||
+                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
+                         chr(10) || chr(10)),
+                       'hash', '#')"""
 _SHINGLES = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len({t}) - 2, 1)),"
@@ -1602,15 +1626,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s0 AS (
               SELECT doc_id,
-                     replace(
-                       array_to_string(
-                         list_transform(
-                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
-                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
-                                || chr(10) ||
-                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
-                         chr(10) || chr(10)),
-                       'hash', '#') AS s
+                     {_RENDITION} AS s
               FROM t0
             ),
             m AS (
@@ -1691,15 +1707,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s0 AS (
               SELECT doc_id,
-                     replace(
-                       array_to_string(
-                         list_transform(
-                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
-                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
-                                || chr(10) ||
-                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
-                         chr(10) || chr(10)),
-                       'hash', '#') AS s0
+                     {_RENDITION} AS s0
               FROM t0
             ),
             d AS (
@@ -1761,15 +1769,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             s0 AS (
               SELECT doc_id,
-                     replace(
-                       array_to_string(
-                         list_transform(
-                           generate_series(1, cast(floor((len(toks) + 5) / 6.0) as int)),
-                           i -> coalesce(array_to_string(list_slice(toks, (i-1)*6+1, (i-1)*6+3), ' '), '')
-                                || chr(10) ||
-                                coalesce(array_to_string(list_slice(toks, (i-1)*6+4, (i-1)*6+6), ' '), '')),
-                         chr(10) || chr(10)),
-                       'hash', '#') AS s
+                     {_RENDITION} AS s
               FROM t0
             ),
             l AS (

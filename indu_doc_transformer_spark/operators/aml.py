@@ -664,7 +664,10 @@ def write_aml_fragments(
             F.sum("n_links").cast("long").alias("n_links"),
             F.sum(F.length("xml")).cast("long").alias("xml_chars"),
         )
-        .withColumn("h_order", h_order[F.col("hierarchy")])
+        # try_element_at: a hierarchy absent from this config gets a NULL
+        # stitch position (the stitcher skips it, like aml_file_xml) —
+        # plain element_at would fail the job under ANSI mode
+        .withColumn("h_order", F.try_element_at(h_order, F.col("hierarchy")))
     )
     idx.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "aml_index")

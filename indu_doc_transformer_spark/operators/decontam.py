@@ -46,33 +46,38 @@ def ngram_contamination(
     Returns (id, n_grams, n_contaminated, contam_frac, keep). Documents
     shorter than ``n`` tokens have zero grams and count as clean.
     """
-    tg = train.select(
+    # ONE pass over the training side: the gram construction (an
+    # interpreted higher-order md5 fold, the dominant per-row cost) is
+    # evaluated once; explode_outer keeps zero-gram docs; the broadcast
+    # LEFT join marks benchmark hits without dropping clean grams
+    exploded = train.select(
         F.col(id_col).alias("id"), _distinct_grams(F.col(text_col), n).alias("grams")
+    ).select(
+        "id",
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
     )
-    totals = tg.select("id", F.size("grams").alias("n_grams"))
-    exploded = tg.select("id", F.explode("grams").alias("gram"))
     bg = (
         bench.select(F.explode(_distinct_grams(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    hits = (
-        exploded.join(broadcast(bg), "gram")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    out = totals.join(hits, "id", "left").select(
-        "id",
-        "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
-        F.when(F.col("n_grams") <= 0, F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.col("n_grams").cast("double"),
-                6,
+    out = (
+        exploded.join(broadcast(bg), "gram", "left")
+        .groupBy("id", "n_grams")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"))
+        .select(
+            "id",
+            "n_grams",
+            "n_contaminated",
+            F.when(F.col("n_grams") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_contaminated") / F.col("n_grams").cast("double"), 6
+                )
             )
+            .alias("contam_frac"),
         )
-        .alias("contam_frac"),
     )
     return out.withColumn(
         "keep", (F.col("contam_frac") <= max_frac).cast("int")

@@ -146,6 +146,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
         if len(body) < sz:
             raise ValueError("truncated chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
             fmt_code, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
             if fmt_code != 1 or channels != 1 or bits != 16:
                 raise ValueError(
@@ -156,6 +158,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if rate <= 0:
+        raise ValueError("invalid sample rate")
     n = len(data) // 2
     if n == 0:
         raise ValueError("empty data chunk")

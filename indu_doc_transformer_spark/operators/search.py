@@ -317,7 +317,12 @@ def _py_repr(col: Column, dtype: DataType) -> Column:
                 parts.append(F.lit(", "))
             parts.append(F.lit(f"'{f_.name}': "))
             parts.append(_py_repr(col[f_.name], f_.dataType))
-        rendered = F.concat(F.lit("{"), *parts, F.lit("}"))
+        # field-name literals would make concat non-null even for a NULL
+        # struct (its fields coalesce to 'None'); gate on the struct
+        # itself so str(None) == 'None' like the reference
+        rendered = F.when(
+            col.isNotNull(), F.concat(F.lit("{"), *parts, F.lit("}"))
+        )
     else:
         rendered = col.cast("string")
     # nested None renders as the 4 chars 'None' (unquoted), like Python

@@ -48,7 +48,7 @@ def main() -> None:
         contam_n=args.contam_n, contam_max=args.contam_max,
     )
     write_table(flags, os.path.join(args.out, "flags"))
-    flags_w = spark.read.parquet(os.path.join(args.out, "flags"))
+    flags_w = read_table(spark, os.path.join(args.out, "flags"))
     survivors = docs.join(
         flags_w.where(F.col("keep") == 1).select(F.col("id").alias(args.id_col)),
         args.id_col,
@@ -59,7 +59,7 @@ def main() -> None:
         {r: v for r, v in zip(
             ["total", "drop_dedup", "drop_gopher", "drop_repetition",
              "drop_decontam", "kept"],
-            spark.read.parquet(os.path.join(args.out, "funnel")).first(),
+            read_table(spark, os.path.join(args.out, "funnel")).first(),
         )}
     )
     spark.stop()

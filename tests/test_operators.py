@@ -613,3 +613,26 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert out[2].n_lines == 1
     import hashlib
     assert out[2].text_md5 == hashlib.md5(b"delta four").hexdigest()
+
+
+def test_wav_malformed_raises_valueerror_not_task_failure(spark):
+    """Malformed RIFF payloads must raise ValueError (caught per-row),
+    never struct.error/ZeroDivisionError (which would kill the task)."""
+    import struct as st
+
+    short_fmt = (
+        b"RIFF" + st.pack("<I", 20) + b"WAVE" + b"fmt " + st.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        mm.decode_wav(short_fmt)
+    zero_rate = mm.encode_wav(0, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        mm.decode_wav(zero_rate)
+    # end-to-end: a planted malformed audio payload becomes a
+    # decode_ok=False row, not a task failure
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(short_fmt), None), (1, "audio", bytearray(zero_rate), None)],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    rows = mm.extract_features(media, fake=True).collect()
+    assert len(rows) == 2 and not any(r.decode_ok for r in rows)

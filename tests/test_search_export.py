@@ -177,6 +177,11 @@ def test_search_null_leaf_matches_like_python_none(spark):
     # nested None renders unquoted like Python repr; a null container
     # itself stringifies to 'None' (str(None)) — both match 'none'
     assert {r.guid for r in s_op.search_targets(idx, "@meta=none").collect()} == {"g1", "g3"}
+    # a NULL struct renders as exactly 'None' — a value filter naming a
+    # field matches non-null structs (their dict repr contains the key
+    # name, like str({'k':..,'hue':..})) but NOT the null struct g3
+    assert {r.guid for r in s_op.search_targets(idx, "@meta=hue").collect()} == {"g1", "g2"}
+    assert {r.guid for r in s_op.search_targets(idx, "@meta='v1'").collect()} == {"g1"}
 
 
 def test_search_connections(spark, cidx):
