@@ -718,16 +718,34 @@ def q_gopher_rules(spark, sf_dir):
 
 
 def q_repetition_full(spark, sf_dir):
-    """Gopher repetition rules: top n-gram fraction for n in {2,3,4}
-    per document in one pass (single explode, two shuffles), plus the
-    folded repetition keep flag."""
+    """The COMPLETE Gopher repetition table: top n-gram fraction for
+    n in {2,3,4} plus duplicate n-gram char-coverage fraction for n in
+    {5..10} (each family one explode + two shuffles), folded into one
+    rep_keep flag with the paper's thresholds. The corpus never repeats
+    a 5-gram, so every 7th document gets a deterministic doubled
+    12-token clause appended — identically on both engines — giving the
+    dup rules real signal."""
     d = _t(spark, sf_dir, "documents")
-    out = ts.top_ngram_stats(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
-    return out.withColumn(
-        "rep_keep",
-        ts.repetition_keep(
-            F.col("top2_frac"), F.col("top3_frac"), F.col("top4_frac")
-        ).cast("int"),
+    clause = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 12), " "
+    )
+    d = d.withColumn(
+        "s",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" "), clause, F.lit(" "), clause),
+        ).otherwise(F.col("text")),
+    )
+    top = ts.top_ngram_stats(d, "doc_id", "s")
+    dup = ts.dup_ngram_char_stats(d, "doc_id", "s")
+    out = top.join(dup, "id", "left")
+    for n in range(5, 11):
+        out = out.withColumn(f"dup{n}_frac", F.coalesce(f"dup{n}_frac", F.lit(0.0)))
+    keep = ts.repetition_keep(
+        F.col("top2_frac"), F.col("top3_frac"), F.col("top4_frac")
+    ) & ts.dup_ngram_keep({n: F.col(f"dup{n}_frac") for n in range(5, 11)})
+    return out.withColumn("rep_keep", keep.cast("int")).withColumnRenamed(
+        "id", "doc_id"
     )
 
 
@@ -1658,7 +1676,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "q_repetition_full": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            WITH s0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' ' || clause || ' ' || clause
+                          ELSE text END AS s
+              FROM (
+                SELECT doc_id, text,
+                       array_to_string(list_slice({_TOKS}, 1, 12), ' ') AS clause
+                FROM documents
+              )
+            ),
+            t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(s)), '\\s+') AS toks
+              FROM s0
+            ),
             base AS (
               SELECT doc_id, cast(len(toks) as bigint) AS ntok, toks
               FROM t WHERE len(toks) >= 2
@@ -1684,11 +1717,47 @@ def oracle_sql() -> dict[str, str]:
                      round(coalesce(max(CASE WHEN n = 3 THEN top_cnt / cast(ntok - 2 as double) END), 0.0), 6) AS top3_frac,
                      round(coalesce(max(CASE WHEN n = 4 THEN top_cnt / cast(ntok - 3 as double) END), 0.0), 6) AS top4_frac
               FROM top GROUP BY doc_id
+            ),
+            db AS (
+              SELECT doc_id,
+                     cast(length(array_to_string(toks, ' ')) as bigint) AS chars, n,
+                     unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+              FROM t, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns2
+              WHERE len(toks) >= 5 AND len(toks) >= n
+            ),
+            dc AS (SELECT doc_id, chars, n, gram, count(*) AS cnt FROM db GROUP BY ALL),
+            dd AS (
+              SELECT doc_id, chars, n,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+              FROM dc GROUP BY ALL
+            ),
+            dp AS (
+              SELECT doc_id,
+                     round(coalesce(max(CASE WHEN n = 5 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup5_frac,
+                     round(coalesce(max(CASE WHEN n = 6 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup6_frac,
+                     round(coalesce(max(CASE WHEN n = 7 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup7_frac,
+                     round(coalesce(max(CASE WHEN n = 8 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup8_frac,
+                     round(coalesce(max(CASE WHEN n = 9 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup9_frac,
+                     round(coalesce(max(CASE WHEN n = 10 THEN least(1.0, dup_chars / cast(chars as double)) END), 0.0), 6) AS dup10_frac
+              FROM dd GROUP BY doc_id
             )
-            SELECT doc_id, top2_frac, top3_frac, top4_frac,
+            SELECT p.doc_id, top2_frac, top3_frac, top4_frac,
+                   coalesce(dup5_frac, 0.0) AS dup5_frac,
+                   coalesce(dup6_frac, 0.0) AS dup6_frac,
+                   coalesce(dup7_frac, 0.0) AS dup7_frac,
+                   coalesce(dup8_frac, 0.0) AS dup8_frac,
+                   coalesce(dup9_frac, 0.0) AS dup9_frac,
+                   coalesce(dup10_frac, 0.0) AS dup10_frac,
                    CASE WHEN top2_frac <= 0.2 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+                             AND coalesce(dup5_frac, 0.0) <= 0.15
+                             AND coalesce(dup6_frac, 0.0) <= 0.14
+                             AND coalesce(dup7_frac, 0.0) <= 0.13
+                             AND coalesce(dup8_frac, 0.0) <= 0.12
+                             AND coalesce(dup9_frac, 0.0) <= 0.11
+                             AND coalesce(dup10_frac, 0.0) <= 0.10
                         THEN 1 ELSE 0 END AS rep_keep
-            FROM p
+            FROM p LEFT JOIN dp ON p.doc_id = dp.doc_id
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents

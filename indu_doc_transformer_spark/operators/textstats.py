@@ -252,8 +252,81 @@ def repetition_keep(
     top2: Column, top3: Column, top4: Column,
     max2: float = 0.2, max3: float = 0.18, max4: float = 0.16,
 ) -> Column:
-    """Gopher's repetition thresholds folded to one keep flag."""
+    """Gopher's top-n-gram thresholds folded to one keep flag."""
     return (top2 <= max2) & (top3 <= max3) & (top4 <= max4)
+
+
+def dup_ngram_char_stats(df, id_col: str, text_col: str, ns: tuple = (5, 6, 7, 8, 9, 10)):
+    """The other half of Gopher's repetition table: for each n in
+    ``ns``, the fraction of (normalized) characters covered by n-grams
+    occurring more than once — sum(count * len(gram)) over duplicate
+    grams, capped at 1.0 (overlapping grams overcount, same as the
+    published implementations). ONE explode + two shuffles for all
+    six n's, identical shape to top_ngram_stats."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    char_len = F.length(F.array_join(toks, " ")).cast("long")
+
+    def grams_for(n: int) -> Column:
+        return F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.expr("cast(array() as array<struct<n:int,gram:string>>)"))
+
+    min_n = min(ns)
+    g = (
+        df.where(n_tok >= min_n)
+        .select(
+            F.col(id_col).alias("id"),
+            char_len.alias("chars"),
+            F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("g"),
+        )
+        .select("id", "chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = g.groupBy("id", "chars", "n", "gram").agg(F.count("*").alias("cnt"))
+    dup = counts.groupBy("id", "chars", "n").agg(
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars")
+    )
+    aggs = [
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.least(
+                            F.lit(1.0),
+                            F.col("dup_chars") / F.col("chars").cast("double"),
+                        ),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"dup{n}_frac")
+        for n in ns
+    ]
+    return dup.groupBy("id", "chars").agg(*aggs).drop("chars")
+
+
+# Gopher table A1: duplicate n-gram char-fraction thresholds for n=5..10
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def dup_ngram_keep(cols: dict) -> Column:
+    """``cols`` maps n -> the dup{n}_frac column; folds the Gopher
+    duplicate-n-gram thresholds to one keep flag."""
+    flag = F.lit(True)
+    for n, c in cols.items():
+        flag = flag & (c <= DUP_NGRAM_MAX[n])
+    return flag
 
 
 _C4_TERMINAL_RE = r'[.!?"]$'

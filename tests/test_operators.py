@@ -636,3 +636,19 @@ def test_wav_malformed_raises_valueerror_not_task_failure(spark):
     )
     rows = mm.extract_features(media, fake=True).collect()
     assert len(rows) == 2 and not any(r.decode_ok for r in rows)
+
+
+def test_dup_ngram_char_stats_planted(spark):
+    """A doc that repeats a clause has every n-gram inside the repeated
+    span duplicated; a no-repeat doc scores 0 everywhere."""
+    from indu_doc_transformer_spark.operators import textstats as ts
+
+    rep = "one two three four five six " * 3  # every 5..10-gram duplicated
+    docs = spark.createDataFrame(
+        [(1, rep.strip()), (2, "all tokens here are used just once only ever")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in ts.dup_ngram_char_stats(docs, "doc_id", "text").collect()}
+    assert out[1].dup5_frac == 1.0  # capped: overlapping grams overcount
+    assert out[1].dup10_frac > 0.9
+    assert all(getattr(out[2], f"dup{n}_frac") == 0.0 for n in range(5, 11))
