@@ -824,6 +824,14 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_unigram_rarity(spark, sf_dir):
+    """LM-style rarity scoring (textstats.unigram_rarity): corpus-wide
+    unigram counts as the 'model', integer-exact per-token rarity
+    floor(total*1000/count), per-doc sum + floored average."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.unigram_rarity(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled demonstrators superseded by a stronger recorded check;
         # validated by scripts/validate_entry.py each round ----
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
+        "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
         "q_tumbling_counts": q_tumbling_counts,  # event-time windowing ⊂ q_stream_sessionize
         "q_connection_guid": q_connection_guid,  # char-exploded hash ⊂ q_connections_from_rows
         "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
@@ -1761,6 +1770,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": f"""
             SELECT doc_id, {_sql_md5_uuid(_NORM)} AS fp FROM documents
+        """,
+        "q_unigram_rarity": f"""
+            WITH e AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+            tot AS (SELECT cast(sum(cnt) as bigint) AS total FROM c),
+            r AS (
+              SELECT e.doc_id,
+                     cast(floor(tot.total * 1000 / c.cnt) as bigint) AS rarity
+              FROM e JOIN c USING (tok), tot
+            )
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_toks,
+                   cast(sum(rarity) as bigint) AS rarity_sum,
+                   cast(floor(sum(rarity) / count(*)) as bigint) AS rarity_avg
+            FROM r GROUP BY doc_id
         """,
         "q_token_shards": """
             WITH t AS (

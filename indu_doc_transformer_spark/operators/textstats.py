@@ -401,6 +401,39 @@ def pii_redact(c: Column) -> Column:
     return out
 
 
+def unigram_rarity(df, id_col: str, text_col: str, scale: int = 1000):
+    """LM-style quality proxy without a language model: each token's
+    rarity is floor(total_tokens * scale / token_count) — the integer-
+    exact analog of -log p(token) (both engines compute the identical
+    value; float ln would drift by ulps across libm implementations).
+    Returns (id, n_toks, rarity_sum, rarity_avg); high averages mean
+    rare/garbage-heavy documents, low means stopword soup.
+
+    Scale shape: one global token-count aggregation (the 'model'), one
+    broadcast of it (at 100 TB the vocabulary table is still small —
+    hash-join instead if it isn't), one map-side join + per-doc agg."""
+    from pyspark.sql.functions import broadcast
+
+    toks = _tokens(F.col(text_col))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    rarity = F.floor(F.col("total") * scale / F.col("cnt")).cast("long")
+    return (
+        ex.join(broadcast(counts), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(rarity).cast("long").alias("rarity_sum"),
+        )
+        .withColumn(
+            "rarity_avg",
+            F.floor(F.col("rarity_sum") / F.col("n_toks")).cast("long"),
+        )
+    )
+
+
 def token_shards(df, id_col: str, text_col: str, tokens_per_shard: int):
     """Assign documents to fixed-token-budget training shards: docs are
     laid out in id order and a shard boundary falls every
