@@ -196,14 +196,11 @@ def top_bigram_stats(df, id_col: str, text_col: str):
     )
 
 
-def top_ngram_stats(df, id_col: str, text_col: str, ns: tuple = (2, 3, 4)):
-    """Gopher repetition rules generalized: the top n-gram fraction for
-    each n in ``ns`` per document, in ONE pass — the per-n gram arrays
-    are built row-side (map-only), a single explode feeds one
-    (id, n, gram) count and one (id, n) max, then conditional
-    aggregation pivots n back to columns. Two shuffles total regardless
-    of how many n's, no per-doc Python."""
-    toks = _tokens(F.col(text_col))
+def _gram_structs(toks: Column, ns: tuple) -> Column:
+    """Flattened array of (n, gram) structs for every n in ``ns`` —
+    the shared gram constructor for both repetition families (a change
+    here must hold for top_ngram_stats AND dup_ngram_char_stats, whose
+    oracles mirror it)."""
     n_tok = F.size(toks)
 
     def grams_for(n: int) -> Column:
@@ -218,7 +215,19 @@ def top_ngram_stats(df, id_col: str, text_col: str, ns: tuple = (2, 3, 4)):
             ),
         ).otherwise(F.expr("cast(array() as array<struct<n:int,gram:string>>)"))
 
-    all_g = F.flatten(F.array(*[grams_for(n) for n in ns]))
+    return F.flatten(F.array(*[grams_for(n) for n in ns]))
+
+
+def top_ngram_stats(df, id_col: str, text_col: str, ns: tuple = (2, 3, 4)):
+    """Gopher repetition rules generalized: the top n-gram fraction for
+    each n in ``ns`` per document, in ONE pass — the per-n gram arrays
+    are built row-side (map-only), a single explode feeds one
+    (id, n, gram) count and one (id, n) max, then conditional
+    aggregation pivots n back to columns. Two shuffles total regardless
+    of how many n's, no per-doc Python."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    all_g = _gram_structs(toks, ns)
     g = (
         df.where(n_tok >= 2)
         .select(
@@ -266,26 +275,12 @@ def dup_ngram_char_stats(df, id_col: str, text_col: str, ns: tuple = (5, 6, 7, 8
     toks = _tokens(F.col(text_col))
     n_tok = F.size(toks)
     char_len = F.length(F.array_join(toks, " ")).cast("long")
-
-    def grams_for(n: int) -> Column:
-        return F.when(
-            n_tok >= n,
-            F.transform(
-                F.sequence(F.lit(1), n_tok - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice(toks, i, n), " ").alias("gram"),
-                ),
-            ),
-        ).otherwise(F.expr("cast(array() as array<struct<n:int,gram:string>>)"))
-
-    min_n = min(ns)
     g = (
-        df.where(n_tok >= min_n)
+        df.where(n_tok >= min(ns))
         .select(
             F.col(id_col).alias("id"),
             char_len.alias("chars"),
-            F.explode(F.flatten(F.array(*[grams_for(n) for n in ns]))).alias("g"),
+            F.explode(_gram_structs(toks, ns)).alias("g"),
         )
         .select("id", "chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )

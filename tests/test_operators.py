@@ -620,10 +620,15 @@ def test_wav_malformed_raises_valueerror_not_task_failure(spark):
     never struct.error/ZeroDivisionError (which would kill the task)."""
     import struct as st
 
+    # >= 44 bytes so the fmt-chunk-size guard itself is exercised (a
+    # shorter payload trips the length gate before reaching it)
     short_fmt = (
-        b"RIFF" + st.pack("<I", 20) + b"WAVE" + b"fmt " + st.pack("<I", 4) + b"\x01\x00\x01\x00"
+        b"RIFF" + st.pack("<I", 40) + b"WAVE"
+        + b"fmt " + st.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + st.pack("<I", 16) + b"\x00" * 16
     )
-    with pytest.raises(ValueError):
+    assert len(short_fmt) >= 44
+    with pytest.raises(ValueError, match="short fmt chunk"):
         mm.decode_wav(short_fmt)
     zero_rate = mm.encode_wav(0, [1, 2, 3, 4])
     with pytest.raises(ValueError):
