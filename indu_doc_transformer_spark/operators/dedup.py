@@ -174,14 +174,14 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # shingles fetched only for surviving candidate pairs — the pair
-    # set is the small side (LSH collisions), so broadcast it and keep
-    # both fetch joins map-side over the cached base
-    from pyspark.sql.functions import broadcast
-
+    # set is normally the small side (LSH collisions), and AQE turns
+    # these into broadcast joins when it is; no forced hint, so a
+    # pathologically duplicate-heavy corpus degrades to a shuffle join
+    # instead of an OOM
     sha = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     shb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        sha.join(broadcast(cand), "id_a")
+        sha.join(cand, "id_a")
         .join(shb, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard_sim") >= threshold)
@@ -509,17 +509,27 @@ def embedding_near_dup_lsh(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
-    base = register_cache(base, cache)  # interpreted fold; joined twice
-    a, b = base.alias("a"), base.alias("b")
+    base = register_cache(base, cache)  # interpreted fold; referenced 3x
+    base.count()  # materialize before the multi-reference plan
+    nb = base.select("id", "bucket")
+    a, b = nb.alias("a"), nb.alias("b")
+    # the self-join shuffles ONLY (id, bucket); vectors are fetched
+    # map-side for surviving candidate pairs (AQE broadcasts the pair
+    # set when it is small) — at 100 TB with 1k-dim embeddings the
+    # vector payload is the dominant shuffle term
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
+        va.join(cand, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            embedding_cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            embedding_cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
