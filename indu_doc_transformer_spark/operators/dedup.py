@@ -139,9 +139,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: LSH candidates verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
-    jaccard_sim >= threshold. ``cache`` receives the persisted bucket
-    handle (see plans.cache: caller unpersists after materializing).
-    """
+    jaccard_sim >= threshold. ``id_col`` must be unique (the documents
+    primary key) — duplicate ids would re-amplify through the shingle
+    fetch joins. ``cache`` receives the persisted kernel-output handle
+    (id, shingles, signature — unexploded; see plans.cache: caller
+    unpersists after materializing)."""
     r = num_hashes // bands
     kernel = _shingle_sig_udf(num_hashes, shingle_k)
     # materialize the kernel output ONCE per doc (sh + sig); the bucket
@@ -153,10 +155,9 @@ def minhash_lsh_pairs(
         .select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig")),
         cache,
     )
-    # materialize NOW: the plan references base three times (buckets +
-    # both shingle fetches); a lazy persist lets the first job compute
-    # the Arrow kernel once per reference before the cache fills
-    base.count()
+    # base is referenced three times (buckets + both shingle fetches);
+    # the persist fills on first action — plan-only callers (explain,
+    # composition) pay nothing at build time
     buckets = base.select(
         "id", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -510,7 +511,6 @@ def embedding_near_dup_lsh(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
     base = register_cache(base, cache)  # interpreted fold; referenced 3x
-    base.count()  # materialize before the multi-reference plan
     nb = base.select("id", "bucket")
     a, b = nb.alias("a"), nb.alias("b")
     # the self-join shuffles ONLY (id, bucket); vectors are fetched
