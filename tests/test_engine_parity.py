@@ -129,3 +129,45 @@ def test_pii_redaction_parity(spark, con, batch):
         """).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(texts(), min_size=1, max_size=16))
+def test_ngram_repetition_parity(spark, con, batch):
+    """The gram-window arithmetic (sequence bounds, slice lengths,
+    denominators ntok-(n-1)) agrees between the Spark higher-order
+    expressions and the DuckDB formulation on hostile inputs, including
+    docs shorter than n."""
+    rows = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.top2_frac, r.top3_frac, r.top4_frac)
+        for r in ts.top_ngram_stats(df, "id", "text").collect()
+    }
+    con.execute("CREATE OR REPLACE TABLE hn AS SELECT * FROM (VALUES (NULL::BIGINT, NULL::VARCHAR)) v(id, text) WHERE false")
+    con.executemany("INSERT INTO hn VALUES (?, ?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(r"""
+            WITH t AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM hn),
+            base AS (SELECT id, cast(len(toks) as bigint) AS ntok, toks FROM t WHERE len(toks) >= 2),
+            g AS (
+              SELECT id, ntok, n,
+                     unnest(list_transform(generate_series(1, ntok - (n - 1)),
+                                           i -> array_to_string(list_slice(toks, i, i + n - 1), ' '))) AS gram
+              FROM base, (SELECT unnest([2, 3, 4]) AS n) ns WHERE ntok >= n
+            ),
+            c AS (SELECT id, ntok, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+            top AS (SELECT id, ntok, n, max(cnt) AS top_cnt FROM c GROUP BY ALL)
+            SELECT id,
+                   round(coalesce(max(CASE WHEN n = 2 THEN top_cnt / cast(ntok - 1 as double) END), 0.0), 6),
+                   round(coalesce(max(CASE WHEN n = 3 THEN top_cnt / cast(ntok - 2 as double) END), 0.0), 6),
+                   round(coalesce(max(CASE WHEN n = 4 THEN top_cnt / cast(ntok - 3 as double) END), 0.0), 6)
+            FROM top GROUP BY id
+        """).fetchall()
+    }
+    assert got == want  # docs with < 2 ws-tokens appear in neither
