@@ -1059,6 +1059,24 @@ def q_neardup_keep_list(spark, sf_dir):
     )
 
 
+def q_multisignal_keep_list(spark, sf_dir):
+    """Multi-signal dedup: LEXICAL near-dup edges (MinHash-LSH pairs)
+    unioned with SEMANTIC edges (embedding hyperplane-LSH pairs over
+    the aligned vec_id space) feed one connected-components pass —
+    a doc is dropped if EITHER signal links it to a smaller-id doc
+    (dedup.keep_list_from_edges)."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sem = dd.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64
+    ).select("id_a", "id_b")
+    edges = lex.unionByName(sem).dropDuplicates()
+    return dd.keep_list_from_edges(d.select("doc_id"), edges)
+
+
 def q_simhash_neardup_banded(spark, sf_dir):
     """Banded SimHash near-dup: 4 x 16-bit band buckets (vs the single
     16-bit prefix of q_simhash_neardup) — any pair within hamming 3
@@ -1195,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
         "q_tumbling_counts": q_tumbling_counts,  # event-time windowing ⊂ q_stream_sessionize
         "q_connection_guid": q_connection_guid,  # char-exploded hash ⊂ q_connections_from_rows
+        "q_multisignal_keep_list": q_multisignal_keep_list,  # lex ∪ sem edges ⊂ recorded pair families
         "q_fingerprint": q_fingerprint,  # md5-uuid ⊂ every from_rows hash
         "q_simhash": q_simhash,  # signature SQL ⊂ q_simhash_neardup_banded
         "q_region_volume": q_region_volume,  # broadcast-chain ⊂ q_top_orders + plan test
@@ -2226,6 +2245,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(list_intersect(sh_a, sh_b)) /
                     cast(len(list_distinct(list_concat(sh_a, sh_b))) as double) >= 0.5
             ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+            ),
+            comp AS (SELECT a AS id, min(lbl) AS comp FROM reach GROUP BY a)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+        """,
+        "q_multisignal_keep_list": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+            sigs AS (SELECT doc_id, sh, {_SIG} AS sig FROM t),
+            buckets AS (
+              SELECT doc_id, sh, j AS band,
+                     md5(cast(j as varchar) || '|' ||
+                         array_to_string(list_slice(sig, j*4+1, j*4+4), ',')) AS bucket
+              FROM sigs, unnest(generate_series(0,3)) AS g(j)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            lex AS (
+              SELECT id_a, id_b FROM cand
+              WHERE len(list_intersect(sh_a, sh_b)) /
+                    cast(len(list_distinct(list_concat(sh_a, sh_b))) as double) >= 0.5
+            ),
+            ebase AS (SELECT vec_id, embedding AS v FROM embeddings),
+            eb AS (
+              SELECT vec_id, v,
+                     array_to_string(list_transform(generate_series(0,5), p ->
+                       CASE WHEN list_sum(list_transform(generate_series(1,64), i ->
+                              cast(v[i] as double) *
+                              (CASE WHEN substr(md5(cast(p as varchar) || ':' || cast(i as varchar)), 1, 1)
+                                         IN ('0','1','2','3','4','5','6','7')
+                                    THEN 1.0 ELSE -1.0 END)))
+                            >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              FROM ebase
+            ),
+            sem AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE {_cos("a.v", "b.v")} >= 0.3
+            ),
+            pairs AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
             edges AS (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs

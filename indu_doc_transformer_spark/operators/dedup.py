@@ -401,10 +401,19 @@ def near_dup_keep_list(
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k, threshold, cache=cache
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    return keep_list_from_edges(df.select(id_col), pairs)
+
+
+def keep_list_from_edges(ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """Survivor ids given near-dup edges from ANY signal (or a union of
+    signals): connected components over the edges, keep the min id per
+    cluster plus every unpaired id. ``ids`` is a one-column frame;
+    ``edges`` carries (id_a, id_b) over the same id space."""
+    id_col = ids.columns[0]
+    comp = connected_components(edges, "id_a", "id_b")
     drop = comp.where(F.col("id") != F.col("comp")).select("id")
     return (
-        df.select(F.col(id_col).alias("id"))
+        ids.select(F.col(id_col).alias("id"))
         .join(drop, "id", "left_anti")
         .select(F.col("id").alias(id_col))
     )
