@@ -1059,6 +1059,30 @@ def q_neardup_keep_list(spark, sf_dir):
     )
 
 
+def q_source_caps(spark, sf_dir):
+    """Per-source document cap (operators/sampling.py): at most 15 docs
+    per source, smallest ids first — bounds any one domain/dump's
+    contribution (every source has 25 docs here, so 200 of 500 flip)."""
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    return sp.source_caps(d, "doc_id", "source", 15).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source Bernoulli sampling: md5-hash buckets —
+    the same docs survive on every engine/run/cluster size (never
+    rand())."""
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        d, "doc_id", "source", {"src0": 25, "src1": 50}, default_pct=75
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_multisignal_keep_list(spark, sf_dir):
     """Multi-signal dedup: LEXICAL near-dup edges (MinHash-LSH pairs)
     unioned with SEMANTIC edges (embedding hyperplane-LSH pairs over
@@ -1207,8 +1231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_aspect_tree": x_aspect_tree,
         "x_lineage_lookup": x_lineage_lookup,
         # ---- driver record cap (50) reached: entries below are green
-        # oracled demonstrators superseded by a stronger recorded check;
-        # validated by scripts/validate_entry.py each round ----
+        # oracled queries either superseded by a stronger recorded check
+        # (noted inline) or late additions that no longer fit the cap;
+        # ALL of them run under scripts/validate_entry.py each round ----
+        "q_source_caps": q_source_caps,  # per-source quota (late addition)
+        "q_stratified_sample": q_stratified_sample,  # deterministic sampling (late addition)
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
         "q_tumbling_counts": q_tumbling_counts,  # event-time windowing ⊂ q_stream_sessionize
@@ -2257,6 +2284,29 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT a AS id, min(lbl) AS comp FROM reach GROUP BY a)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+        """,
+        "q_source_caps": """
+            SELECT doc_id, source,
+                   cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) as bigint) AS rank,
+                   CASE WHEN row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents
+        """,
+        "q_stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     cast(list_sum(list_transform(generate_series(1, 4), i ->
+                       (strpos('0123456789abcdef',
+                               substr(md5(cast(doc_id as varchar)), i, 1)) - 1)
+                       * (CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)))
+                       as bigint) AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source, bucket,
+                   CASE WHEN bucket * 100 <
+                             (CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 ELSE 75 END) * 65536
+                        THEN 1 ELSE 0 END AS keep
+            FROM b
         """,
         "q_multisignal_keep_list": f"""
             WITH RECURSIVE t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
