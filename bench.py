@@ -103,6 +103,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     extract_sec = timings["extract"]
+
+    # round-3 pipeline operators, timed SEPARATELY (not in `value`, so
+    # the headline total stays comparable across rounds)
+    extra: dict[str, float] = {}
+
+    def timed_extra(name, fn):
+        t0 = time.time()
+        fn()
+        extra[name] = round(time.time() - t0, 3)
+
+    for name in ("q_decontaminate", "q_line_dedup", "q_curation_funnel"):
+        timed_extra(name, lambda n=name: qs[n](spark, sf_dir).count())
     print(
         json.dumps(
             {
@@ -110,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries_sec": extra,
                 "sf": sf,
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
