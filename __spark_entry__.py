@@ -1097,7 +1097,10 @@ def q_multisignal_keep_list(spark, sf_dir):
     sem = dd.embedding_near_dup_lsh(
         emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64
     ).select("id_a", "id_b")
-    edges = lex.unionByName(sem).dropDuplicates()
+    # no dedup of the edge union: connected components is invariant
+    # under duplicate edges, and a distinct would shuffle the whole
+    # edge set for nothing
+    edges = lex.unionByName(sem)
     return dd.keep_list_from_edges(d.select("doc_id"), edges)
 
 

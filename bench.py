@@ -46,10 +46,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, into=None):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        (timings if into is None else into)[name] = round(time.time() - t0, 3)
         return out
 
     # warm every python worker through the real kernel path (module
@@ -107,14 +107,8 @@ def main() -> None:
     # round-3 pipeline operators, timed SEPARATELY (not in `value`, so
     # the headline total stays comparable across rounds)
     extra: dict[str, float] = {}
-
-    def timed_extra(name, fn):
-        t0 = time.time()
-        fn()
-        extra[name] = round(time.time() - t0, 3)
-
     for name in ("q_decontaminate", "q_line_dedup", "q_curation_funnel"):
-        timed_extra(name, lambda n=name: qs[n](spark, sf_dir).count())
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count(), into=extra)
     print(
         json.dumps(
             {

@@ -2,10 +2,14 @@
 deterministic stratified sampling — the standard Common-Crawl-pipeline
 steps that bound any single domain/dump's contribution to the corpus.
 
-Scale design: the cap is one window keyed by source (the shuffle key a
-domain-skewed corpus needs salting for is exactly the hot source — the
-rank is cheap per group, and AQE's skew-join handling applies to the
-window exchange); sampling is stateless per-row arithmetic on an md5
+Scale design: the cap is one window keyed by source. A rank-based cap
+cannot be salted — all rows of a source must meet in one task, so a
+source owning a large fraction of the corpus serializes that task (AQE
+does NOT split window-exchange partitions, only skewed joins). If the
+hot source's row count exceeds a task's comfort zone, switch to the
+two-phase variant: per-source counts first, then cap by a precomputed
+id threshold — a plain aggregation plus a broadcast-joined filter,
+both salt-able. Sampling is stateless per-row arithmetic on an md5
 hash, so it is reproducible across runs, engines, and cluster sizes —
 never `rand()`, which breaks retry idempotency and oracle parity.
 """
