@@ -969,7 +969,8 @@ def q_decontaminate(spark, sf_dir):
 def q_line_dedup(spark, sf_dir):
     """C4-style GLOBAL line dedup over the structured rendition: each
     distinct line survives only at its first corpus-wide occurrence
-    (row_number window on the line), documents rebuilt from surviving
+    (groupBy(line) min-struct aggregate — map-side combine, no window
+    on the skew-prone line key), documents rebuilt from surviving
     lines (dedup.line_dedup). Near-dup documents lose their repeated
     lines, so the check carries heavy signal."""
     d = _t(spark, sf_dir, "documents").select(
@@ -982,8 +983,9 @@ def q_curation_funnel(spark, sf_dir):
     """The full curation composition in one job (operators/curation.py):
     exact-dedup survivor, Gopher quality, n-gram repetition, benchmark
     decontamination — per-document flag vector + folded keep. Every
-    stage keeps its scale shape (fp window / per-row expressions / one
-    explode + two aggs / broadcast bench join)."""
+    stage keeps its scale shape (fp groupBy + skew-splittable join /
+    per-row expressions / one explode + two aggs / broadcast bench
+    join)."""
     from indu_doc_transformer_spark.operators import curation as cur
 
     d = _t(spark, sf_dir, "documents")
@@ -1062,7 +1064,10 @@ def q_neardup_keep_list(spark, sf_dir):
 def q_source_caps(spark, sf_dir):
     """Per-source document cap (operators/sampling.py): at most 15 docs
     per source, smallest ids first — bounds any one domain/dump's
-    contribution (every source has 25 docs here, so 200 of 500 flip)."""
+    contribution (every source has 25 docs here, so 200 of 500 flip).
+    Two-phase K-smallest (salted pre-agg + broadcast top-K arrays), no
+    window on the skewed source key; rank is NULL for capped-out rows
+    (the oracle window reproduces exactly that)."""
     from indu_doc_transformer_spark.operators import sampling as sp
 
     d = _t(spark, sf_dir, "documents")
@@ -1116,21 +1121,34 @@ def q_simhash_neardup_banded(spark, sf_dir):
 def q_neardup_recall(spark, sf_dir):
     """Recall gate for the production embedding near-dup path: exact
     cosine pairs over a bounded id range vs the pairs the LSH bucket
-    join recovers — one row (n_exact, n_lsh_found, recall). Breaks if
-    either embedding_cosine or the hyperplane bucket join breaks
-    (replaces the vacuous 0-row q_embedding_neardup)."""
+    join recovers, WITHOUT and WITH hamming-1 multi-probe at the same
+    plane count — one row (n_exact, n_lsh_base, n_lsh_found,
+    recall_base, recall). n_lsh_found >= n_lsh_base by construction
+    (the probe list contains the own bucket); the recorded delta is
+    the measured recall gain of multi-probing. Breaks if
+    embedding_cosine, the hyperplane bucket join, or the bit-flip
+    probe expansion breaks."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
     exact = dd.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, max_ids=150
     )
-    lsh = dd.embedding_near_dup_lsh(
+    lsh0 = dd.embedding_near_dup_lsh(
         emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64
-    ).select("id_a", "id_b", F.lit(1).alias("hit"))
-    j = exact.join(lsh, ["id_a", "id_b"], "left")
-    found = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    ).select("id_a", "id_b", F.lit(1).alias("hit0"))
+    lsh1 = dd.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=6, dim=64,
+        multiprobe=6,
+    ).select("id_a", "id_b", F.lit(1).alias("hit1"))
+    j = exact.join(lsh0, ["id_a", "id_b"], "left").join(
+        lsh1, ["id_a", "id_b"], "left"
+    )
+    base = F.sum(F.coalesce(F.col("hit0"), F.lit(0)))
+    found = F.sum(F.coalesce(F.col("hit1"), F.lit(0)))
     return j.agg(
         F.count("*").cast("long").alias("n_exact"),
+        base.cast("long").alias("n_lsh_base"),
         found.cast("long").alias("n_lsh_found"),
+        F.round(base / F.count("*"), 6).alias("recall_base"),
         F.round(found / F.count("*"), 6).alias("recall"),
     )
 
@@ -2289,11 +2307,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
         """,
         "q_source_caps": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            )
             SELECT doc_id, source,
-                   cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) as bigint) AS rank,
-                   CASE WHEN row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
-                        THEN 1 ELSE 0 END AS keep
-            FROM documents
+                   CASE WHEN rn <= 15 THEN cast(rn as bigint) END AS rank,
+                   CASE WHEN rn <= 15 THEN 1 ELSE 0 END AS keep
+            FROM r
         """,
         "q_stratified_sample": """
             WITH b AS (
@@ -2384,13 +2406,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               WHERE {_cos("a.v", "b.v")} >= 0.3
+            ),
+            pb AS (
+              SELECT vec_id, v,
+                     unnest(list_prepend(bucket,
+                       list_transform(generate_series(1, 6), p ->
+                         substr(bucket, 1, p - 1)
+                         || (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END)
+                         || substr(bucket, p + 1)))) AS pbucket
+              FROM bk
+            ),
+            mp AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM pb a JOIN bk b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE {_cos("a.v", "b.v")} >= 0.3
             )
             SELECT cast(count(*) as bigint) AS n_exact,
                    cast(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                     AS n_lsh_base,
+                   cast(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) as bigint)
                      AS n_lsh_found,
                    round(cast(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) as double)
+                         / count(*), 6) AS recall_base,
+                   round(cast(sum(CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END) as double)
                          / count(*), 6) AS recall
-            FROM exact x LEFT JOIN lsh l ON x.id_a = l.id_a AND x.id_b = l.id_b
+            FROM exact x
+            LEFT JOIN lsh l ON x.id_a = l.id_a AND x.id_b = l.id_b
+            LEFT JOIN mp m ON x.id_a = m.id_a AND x.id_b = m.id_b
         """,
         "q_connections_from_rows": _finisher_cte()
         + """

@@ -5,18 +5,19 @@ as ONE job emitting a per-document flag vector and the folded keep
 decision.
 
 Scale design (100 TB): each stage keeps its own optimal shape — the
-dedup survivor is one window over the content fingerprint (single
-shuffle on fp), the Gopher flags are pure per-row expressions (free),
-the repetition stats are one explode + two aggregations keyed by doc
-id, and decontamination broadcasts the benchmark gram set so the big
-side joins map-side. The final assembly is two id-keyed joins; at
-scale the doc id is the natural table key so these co-partition with
-the source.
+dedup survivor is a groupBy over the content fingerprint (map-side
+partial combine, so a virally duplicated page folds locally) joined
+back on fp (AQE skew-splittable), the Gopher flags are pure per-row
+expressions (free), the repetition stats are one explode + two
+aggregations keyed by doc id, and decontamination broadcasts the
+benchmark gram set so the big side joins map-side. The final assembly
+is two id-keyed joins; at scale the doc id is the natural table key so
+these co-partition with the source.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import decontam as dc
@@ -43,10 +44,17 @@ def curate(
         ts.fingerprint(t).alias("fp"),
         ts.gopher_keep(t).cast("int").alias("gopher_keep"),
     )
-    w = Window.partitionBy("fp")
-    base = base.withColumn(
-        "dedup_keep", (F.col("id") == F.min("id").over(w)).cast("int")
-    ).drop("fp")
+    # canonical-copy selection is an AGGREGATE + join-back, never a
+    # window partitioned by fp: one viral page (one fp, millions of
+    # copies) would serialize a window in a single task, while the
+    # groupBy min gets map-side partial combine and the fp join is
+    # AQE skew-splittable (same shape as dedup.exact_duplicates)
+    keep = base.groupBy("fp").agg(F.min("id").alias("_keep_id"))
+    base = (
+        base.join(keep, "fp")
+        .withColumn("dedup_keep", (F.col("id") == F.col("_keep_id")).cast("int"))
+        .drop("fp", "_keep_id")
+    )
 
     rep = ts.top_ngram_stats(docs, id_col, text_col).select(
         "id",

@@ -3,9 +3,11 @@ and an evaluation/benchmark set — the standard contamination check a
 large-scale training-data pipeline runs before training (n-gram overlap
 flagging, as popularized by GPT-3/PaLM data cards).
 
-Scale design (100 TB): the benchmark side is always small (thousands of
-eval documents), so its distinct gram set is broadcast and the training
-side joins map-side — no shuffle of the 100-TB gram explosion. The only
+Scale design (100 TB): the benchmark side is normally small (thousands
+of eval documents), so its distinct gram set is broadcast and the
+training side joins map-side — no shuffle of the 100-TB gram explosion;
+an oversized bench input falls back to a shuffle join instead of
+OOMing (the hint is gated on a bench-side count). The only
 wide operations are the per-document aggregation of hit counts (one
 shuffle keyed by doc id) and the benchmark distinct (tiny). Grams are
 md5-hashed before the join so the broadcast carries 32-byte keys, not
@@ -39,13 +41,27 @@ def ngram_contamination(
     text_col: str,
     n: int = 8,
     max_frac: float = 0.2,
+    broadcast_max_bench_docs: int = 50_000,
 ) -> DataFrame:
     """Per training document: the fraction of its distinct n-grams that
     appear anywhere in the benchmark set, plus the keep decision.
 
     Returns (id, n_grams, n_contaminated, contam_frac, keep). Documents
     shorter than ``n`` tokens have zero grams and count as clean.
+
+    The broadcast of the benchmark gram set is GATED, not forced: one
+    cheap count of the bench side decides (≤ ``broadcast_max_bench_docs``
+    documents → broadcast hint; above it the join degrades gracefully
+    to a shuffle join instead of OOMing the driver/executors on a
+    misused bench input, e.g. bench=train). The default cap assumes
+    eval-suite-shaped benches (~hundreds of distinct grams per doc →
+    low-GB broadcast worst case); raise it only with executor memory
+    to match.
     """
+    if bench.count() > broadcast_max_bench_docs:
+        hint = lambda d: d  # too big to broadcast: plain (shuffle) join
+    else:
+        hint = broadcast
     # ONE pass over the training side: the gram construction (an
     # interpreted higher-order md5 fold, the dominant per-row cost) is
     # evaluated once; explode_outer keeps zero-gram docs; the broadcast
@@ -63,7 +79,7 @@ def ngram_contamination(
         .withColumn("_hit", F.lit(1))
     )
     out = (
-        exploded.join(broadcast(bg), "gram", "left")
+        exploded.join(hint(bg), "gram", "left")
         .groupBy("id", "n_grams")
         .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"))
         .select(

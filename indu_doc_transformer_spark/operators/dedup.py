@@ -331,6 +331,20 @@ def simhash_near_dup_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint'ed DataFrame's cached
+    RDD blocks. Without this, an iterative loop holds O(iterations)
+    checkpointed label-table copies in executor storage until JVM GC +
+    ContextCleaner get around to them. Reaches through the LogicalRDD
+    plan node (pinned pyspark build); a harmless no-op if the
+    internals move — the blocks then just wait for context cleanup as
+    before."""
+    try:  # pragma: no cover - py4j internals
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 25
 ) -> DataFrame:
@@ -342,11 +356,20 @@ def connected_components(
     edges plus a groupBy — no driver state beyond the converged-yet
     counter (the standard Pregel-style control loop; GraphX does the
     same). Labels are localCheckpoint'ed per iteration so plan lineage
-    stays flat. Converges in graph-diameter iterations; near-dup
-    clusters are shallow (pairs/small cliques), so 2-4 rounds in
-    practice. For adversarial long-chain graphs switch to the
-    large-star/small-star contraction (O(log d) rounds) — not needed
-    for dedup workloads.
+    stays flat, and the PREVIOUS iteration's checkpoint blocks are
+    released as soon as the new one is materialized, so the loop holds
+    at most two label generations in executor storage. Converges in
+    graph-diameter iterations; near-dup clusters are shallow
+    (pairs/small cliques), so 2-4 rounds in practice.
+
+    Cost note for 100 TB: the convergence check is a full count() job
+    over the label table every iteration — that is the price of early
+    exit, and with diameter 2-4 it is 2-4 cheap scans of an id/label
+    table. For adversarial long-chain graphs (diameter ~ n) the
+    right move is not to tune the check cadence but to switch the
+    propagation itself to large-star/small-star contraction (O(log n)
+    rounds) — not needed for dedup workloads, where the chain length
+    is bounded by near-dup transitivity.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -358,6 +381,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev = labels
     for _i in range(max_iters):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -376,11 +400,14 @@ def connected_components(
         )
         new = new.localCheckpoint(eager=True)
         changed = new.where(F.col("ncomp2") != F.col("comp")).count()
+        _release_local_checkpoint(prev)  # new is materialized; prev is dead
+        prev = new
         labels = new.select("id", F.col("ncomp2").alias("comp"))
         if changed == 0:
             break
     else:  # pragma: no cover - diameter > max_iters
         raise RuntimeError(f"connected_components: no convergence in {max_iters} iters")
+    _release_local_checkpoint(sym)
     return labels
 
 
@@ -408,15 +435,20 @@ def keep_list_from_edges(ids: DataFrame, edges: DataFrame) -> DataFrame:
     """Survivor ids given near-dup edges from ANY signal (or a union of
     signals): connected components over the edges, keep the min id per
     cluster plus every unpaired id. ``ids`` is a one-column frame;
-    ``edges`` carries (id_a, id_b) over the same id space."""
+    ``edges`` carries (id_a, id_b) over the same id space.
+
+    The component table is clamped to ``ids`` before picking each
+    cluster's representative: if an edge endpoint is NOT in ``ids``
+    (misaligned id spaces), the representative is the smallest id of
+    the cluster that IS present, so a whole cluster can never silently
+    vanish with no survivor. When the spaces align (the documented
+    contract) the clamp is a no-op and the output is unchanged."""
     id_col = ids.columns[0]
-    comp = connected_components(edges, "id_a", "id_b")
-    drop = comp.where(F.col("id") != F.col("comp")).select("id")
-    return (
-        ids.select(F.col(id_col).alias("id"))
-        .join(drop, "id", "left_anti")
-        .select(F.col("id").alias(id_col))
-    )
+    idn = ids.select(F.col(id_col).alias("id"))
+    comp = connected_components(edges, "id_a", "id_b").join(idn, "id", "left_semi")
+    rep = comp.groupBy("comp").agg(F.min("id").alias("rep"))
+    drop = comp.join(rep, "comp").where(F.col("id") != F.col("rep")).select("id")
+    return idn.join(drop, "id", "left_anti").select(F.col("id").alias(id_col))
 
 
 def simhash_near_dup_pairs_banded(
@@ -504,6 +536,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.3,
     num_planes: int = 6,
     dim: int = 64,
+    multiprobe: int = 0,
     cache: list | None = None,
 ) -> DataFrame:
     """The PRODUCTION embedding near-dup path: hyperplane-LSH buckets
@@ -512,16 +545,29 @@ def embedding_near_dup_lsh(
     anywhere — at 100 TB the join is key-local per bucket.
 
     Recall < 1 by construction (near-identical vectors land in the
-    same bucket with prob (1 - theta/pi)^planes); raise recall with
-    multi-probe (flip one bucket bit) or more tables."""
-    from .similarity import lsh_bucket
+    same bucket with prob (1 - theta/pi)^planes); ``multiprobe`` > 0
+    raises it without extra hash tables: one side additionally probes
+    every bucket at hamming distance 1 (first ``multiprobe`` bit
+    flips, similarity.probe_buckets), recovering any pair that
+    disagrees on exactly one hyperplane. Candidate volume grows by at
+    most (multiprobe+1)x on the probing side only — the explode stays
+    on narrow (id, bucket) rows, so the scale shape is unchanged.
+    ``q_neardup_recall`` records the measured recall with and without
+    probing at the same plane count."""
+    from .similarity import lsh_bucket, probe_buckets
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
     base = register_cache(base, cache)  # interpreted fold; referenced 3x
     nb = base.select("id", "bucket")
-    a, b = nb.alias("a"), nb.alias("b")
+    a = nb.select(
+        "id",
+        F.explode(probe_buckets(F.col("bucket"), num_planes, multiprobe)).alias(
+            "bucket"
+        ),
+    ).alias("a") if multiprobe else nb.alias("a")
+    b = nb.alias("b")
     # the self-join shuffles ONLY (id, bucket); vectors are fetched
     # map-side for surviving candidate pairs (AQE broadcasts the pair
     # set when it is small) — at 100 TB with 1k-dim embeddings the
@@ -530,6 +576,9 @@ def embedding_near_dup_lsh(
         b,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if multiprobe:
+        # a pair can now meet via its shared bucket AND a flipped one
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
@@ -567,22 +616,34 @@ def embedding_near_dup_pairs(
 def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4-style global line-level deduplication: every distinct line
     keeps only its FIRST occurrence corpus-wide (lowest (doc id, line
-    position) via one row_number window), and documents are rebuilt
-    from their surviving lines in original order. Documents whose every
-    line was seen earlier vanish from the output.
+    position)), and documents are rebuilt from their surviving lines in
+    original order. Documents whose every line was seen earlier vanish
+    from the output.
 
-    Scale: one shuffle keyed by the line text (the dedup window — at
-    100 TB hash the line to a 16-byte key first if line lengths are
-    adversarial), one shuffle keyed by doc id (the rebuild). Returns
+    Scale: first-occurrence selection is ``groupBy(line).agg(
+    min(struct(id, pos)))`` — an aggregate, NOT a window, because on a
+    Common-Crawl-shaped corpus the hottest boilerplate line appears in
+    a large fraction of all documents and a window partitioned by the
+    line would sort every copy in ONE task (AQE splits skewed joins,
+    never window partitions). The aggregate gets map-side partial
+    combine: each task reduces its local copies of the hot line to one
+    candidate (min struct) before the shuffle, so the reduce side sees
+    O(tasks) rows per line, not O(occurrences). struct min orders
+    field-by-field, so min(struct(id, pos)) == the (id, pos)-smallest
+    occurrence — identical output to the previous row_number form.
+    Two shuffles total: line-keyed agg + id-keyed rebuild. At 100 TB
+    hash the line to a 16-byte key for the groupBy if line lengths are
+    adversarial (carry min(line) alongside for the rebuild). Returns
     (id, n_lines, text_md5)."""
-    from pyspark.sql import Window
-
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).where(F.trim("line") != "")
-    w = Window.partitionBy("line").orderBy("id", "pos")
-    first = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    first = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("id", "pos")).alias("f"))
+        .select(F.col("f.id").alias("id"), F.col("f.pos").alias("pos"), "line")
+    )
     return first.groupBy("id").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.md5(

@@ -188,8 +188,11 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
             1.0,
         ]
     except ValueError:
-        if bytes(payload)[:4] == b"RIFF":
+        p = bytes(payload)
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             raise  # corrupt WAV: a real decode failure, not another codec
+        # a RIFF container that is NOT WAVE (e.g. RIFF/AVI) is just
+        # another codec: fall through to the fake-feature stand-in
         if not fake:
             raise NotImplementedError(
                 "compressed audio decode requires ffmpeg; run with fake=True"

@@ -2,35 +2,69 @@
 deterministic stratified sampling — the standard Common-Crawl-pipeline
 steps that bound any single domain/dump's contribution to the corpus.
 
-Scale design: the cap is one window keyed by source. A rank-based cap
-cannot be salted — all rows of a source must meet in one task, so a
-source owning a large fraction of the corpus serializes that task (AQE
-does NOT split window-exchange partitions, only skewed joins). If the
-hot source's row count exceeds a task's comfort zone, switch to the
-two-phase variant: per-source counts first, then cap by a precomputed
-id threshold — a plain aggregation plus a broadcast-joined filter,
-both salt-able. Sampling is stateless per-row arithmetic on an md5
-hash, so it is reproducible across runs, engines, and cluster sizes —
-never `rand()`, which breaks retry idempotency and oracle parity.
+Scale design: the cap is a two-phase K-smallest selection, never a
+window keyed by source. A rank window cannot be salted — all rows of a
+source must meet in one task, so a source owning a large fraction of
+the corpus serializes that task (AQE does NOT split window-exchange
+partitions, only skewed joins). Phase 1 computes each source's K
+smallest ids through a salted pre-aggregation (the hot source is
+divided across ``num_salts`` groups, each capped to K before the tiny
+per-source merge); phase 2 broadcasts that per-source top-K table (one
+short row per source) and ranks by array position — no shuffle of the
+corpus at all beyond the phase-1 aggregation. Sampling is stateless
+per-row arithmetic on an md5 hash, so it is reproducible across runs,
+engines, and cluster sizes — never `rand()`, which breaks retry
+idempotency and oracle parity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def source_caps(
-    df: DataFrame, id_col: str, source_col: str, max_per_source: int
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    max_per_source: int,
+    num_salts: int = 16,
 ) -> DataFrame:
     """Keep at most ``max_per_source`` documents per source, preferring
-    the smallest ids (deterministic). Returns (id, source, rank, keep)."""
-    w = Window.partitionBy(source_col).orderBy(id_col)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("source"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    ).withColumn("keep", (F.col("rank") <= max_per_source).cast("int"))
+    the smallest ids (deterministic; ids must be unique). Returns
+    (id, source, rank, keep): rank is the 1-based position among the
+    source's kept ids, NULL for capped-out rows.
+
+    Two-phase K-smallest (no window on the skewed source key):
+    1. groupBy(source, salt) -> sorted local K-smallest arrays (each
+       group holds ~rows/num_salts of even the hottest source; size
+       ``num_salts`` so that fits a task), then groupBy(source) merges
+       the ≤ num_salts*K survivors per source into the global top-K.
+    2. broadcast the (source, top-K array) table — #sources rows —
+       back onto the corpus; rank = array_position, keep = rank found.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    salted = base.withColumn(
+        "_salt", F.pmod(F.crc32(F.col("id").cast("string")), F.lit(num_salts))
+    )
+    local = salted.groupBy("source", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, max_per_source).alias("topk")
+    )
+    topk = local.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("topk"))), 1, max_per_source
+        ).alias("topk")
+    )
+    pos = F.array_position(F.col("topk"), F.col("id"))
+    return (
+        base.join(F.broadcast(topk), "source")
+        .select(
+            "id",
+            "source",
+            F.when(pos > 0, pos).cast("long").alias("rank"),
+            (pos > 0).cast("int").alias("keep"),
+        )
+    )
 
 
 def stratified_sample(

@@ -31,8 +31,6 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    import os
-
     from pyspark.sql import functions as F
 
     from indu_doc_transformer_spark.operators import curation as cur
@@ -55,13 +53,9 @@ def main() -> None:
     ).withColumn(args.text_col, ts.pii_redact(F.col(args.text_col)))
     write_table(survivors, os.path.join(args.out, "curated"))
     write_table(cur.funnel_stats(flags_w), os.path.join(args.out, "funnel"))
-    print(
-        {r: v for r, v in zip(
-            ["total", "drop_dedup", "drop_gopher", "drop_repetition",
-             "drop_decontam", "kept"],
-            read_table(spark, os.path.join(args.out, "funnel")).first(),
-        )}
-    )
+    # asDict keys the summary by column NAME — a positional zip would
+    # silently mislabel if funnel_stats column order ever changed
+    print(read_table(spark, os.path.join(args.out, "funnel")).first().asDict())
     spark.stop()
 
 

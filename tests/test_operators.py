@@ -181,6 +181,70 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_keep_list_clamps_to_id_space(spark):
+    """An edge endpoint OUTSIDE the caller's id space must not silently
+    drop the whole cluster: the representative is the smallest id that
+    IS present (ADVICE r3 — misaligned spaces previously lost every doc
+    of a cluster whose global min-id was absent)."""
+    ids = spark.createDataFrame([(5,), (6,), (7,)], "doc_id bigint")
+    edges = spark.createDataFrame([(1, 5), (5, 6)], "id_a bigint, id_b bigint")
+    keep = {r.doc_id for r in dd.keep_list_from_edges(ids, edges).collect()}
+    assert keep == {5, 7}  # 5 survives as min PRESENT id; 6 drops; 7 unpaired
+
+
+def test_source_caps_two_phase_semantics(spark):
+    """The salted two-phase K-smallest must keep exactly the K smallest
+    ids per source with exact 1-based ranks, NULL rank for capped-out
+    rows — across salt counts (including one forcing a multi-group
+    merge)."""
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    rows = [(i, "hot" if i % 2 == 0 else f"s{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    expect = {}
+    per_source: dict = {}
+    for i, src in sorted(rows):
+        per_source.setdefault(src, []).append(i)
+    for src, ids in per_source.items():
+        for rank, i in enumerate(sorted(ids), start=1):
+            expect[i] = (src, rank if rank <= 7 else None, int(rank <= 7))
+    for salts in (1, 4, 16):
+        got = {
+            r.id: (r.source, r.rank, r.keep)
+            for r in sp.source_caps(docs, "doc_id", "source", 7, num_salts=salts).collect()
+        }
+        assert got == expect, salts
+
+
+def test_embedding_neardup_multiprobe_superset(spark):
+    """Hamming-1 multi-probe must recover every pair the plain bucket
+    join finds plus pairs differing on exactly one hyperplane —
+    strictly more on a clustered synthetic set."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16).astype("float64")
+    vecs = [centers[i % 6] + 0.05 * rng.randn(16) for i in range(90)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_lsh(
+            df, "vec_id", "embedding", threshold=0.9, num_planes=6, dim=16
+        ).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_near_dup_lsh(
+            df, "vec_id", "embedding", threshold=0.9, num_planes=6, dim=16,
+            multiprobe=6,
+        ).collect()
+    }
+    assert plain <= probed and len(probed) > len(plain)
+
+
 def test_near_dup_keep_list(docs):
     """Docs 0/1/2 form one near-dup cluster (1 is a near-dup of 0, 2 an
     exact dup) -> only the min id survives; singletons survive."""
@@ -641,6 +705,46 @@ def test_wav_malformed_raises_valueerror_not_task_failure(spark):
     )
     rows = mm.extract_features(media, fake=True).collect()
     assert len(rows) == 2 and not any(r.decode_ok for r in rows)
+
+
+def test_riff_non_wave_container_falls_through_to_fake(spark):
+    """A RIFF container that is NOT WAVE (e.g. RIFF/AVI) is another
+    codec, not a corrupt WAV: with fake=True it must take the md5
+    stand-in path (decode_ok=True), not surface as a decode failure
+    (ADVICE r3)."""
+    import hashlib
+    import struct as st
+
+    avi = b"RIFF" + st.pack("<I", 100) + b"AVI " + b"\x00" * 92
+    feats = mm.decode_audio(avi, fake=True)
+    h = hashlib.md5(avi).digest()
+    assert feats == [h[i] / 255.0 for i in range(mm.FEATURE_DIM)]
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(avi, fake=False)
+    # a corrupt RIFF/WAVE still raises (real decode failure)
+    with pytest.raises(ValueError):
+        mm.decode_audio(b"RIFF" + st.pack("<I", 8) + b"WAVE", fake=True)
+
+
+def test_decontamination_broadcast_gate_degrades_gracefully(spark):
+    """Above the bench-size cap the broadcast hint is dropped and the
+    join degrades to a plain join with IDENTICAL results (ADVICE r3:
+    a misused bench input must not OOM the driver)."""
+    from indu_doc_transformer_spark.operators import decontam as dc
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} common tail phrase") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "common tail phrase alpha beta")], "doc_id long, text string"
+    )
+    kw = dict(n=3, max_frac=0.2)
+    hinted = dc.ngram_contamination(docs, bench, "doc_id", "text", **kw)
+    gated = dc.ngram_contamination(
+        docs, bench, "doc_id", "text", broadcast_max_bench_docs=0, **kw
+    )
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, gated.collect()))
 
 
 def test_dup_ngram_char_stats_planted(spark):

@@ -86,6 +86,44 @@ def test_decontamination_broadcasts_bench_grams(spark, sf_dir="/root/testdata/sf
     assert "SortMergeJoin" not in plan
 
 
+def test_hot_key_dedup_paths_plan_without_windows(spark):
+    """One line / fingerprint / source owning ~30% of all rows must not
+    funnel through a window partitioned by that key: AQE splits skewed
+    JOINS, never window partitions, so a hot-key window serializes the
+    hot group in ONE task at 100 TB. line_dedup, curate's dedup stage,
+    and source_caps are required to plan as aggregates + joins — zero
+    Window nodes in their executed plans (the skew-safe rewrites of
+    the round-3 verdict)."""
+    from indu_doc_transformer_spark.operators import curation as cur
+    from indu_doc_transformer_spark.operators import dedup as dd
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    n = 300
+    hot_text = "subscribe to our newsletter\nall rights reserved body"
+    rows = [
+        (
+            i,
+            "hotsrc" if i % 10 < 3 else f"src{i % 7}",
+            hot_text if i % 10 < 3 else f"unique line {i}\nbody {i} words here",
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = docs.limit(5)
+
+    def executed(df):
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plans = {
+        "line_dedup": executed(dd.line_dedup(docs, "doc_id", "text")),
+        "source_caps": executed(sp.source_caps(docs, "doc_id", "source", 5)),
+        "curate": executed(cur.curate(docs, bench, "doc_id", "text", contam_n=4)),
+    }
+    for name, plan in plans.items():
+        assert "Window" not in plan, f"{name} plans a window on a skew-prone key"
+
+
 def test_text_quality_layer_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
     """Gopher/C4/PII/repetition queries must compile to pure JVM
     expressions: zero Python evaluation nodes in the physical plan."""
