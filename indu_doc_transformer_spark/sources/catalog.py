@@ -25,6 +25,12 @@ def write_table(
     if USE_ICEBERG:
         w = df.writeTo(path)
         if mode == "overwrite":
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                # partition spec rides the table DDL on (re)create;
+                # append inherits it from the existing table
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
         else:
             w.append()
