@@ -813,7 +813,9 @@ def q_gopher_rules(spark, sf_dir):
 def q_repetition_full(spark, sf_dir):
     """The COMPLETE Gopher repetition table: top n-gram fraction for
     n in {2,3,4} plus duplicate n-gram char-coverage fraction for n in
-    {5..10} (each family one explode + two shuffles), folded into one
+    {5..10} (each family one zero-shuffle Arrow gram-stats kernel —
+    integer numerators per doc, division/round in SQL; the pure-SQL
+    explode form remains the parity oracle), folded into one
     rep_keep flag with the paper's thresholds. The corpus never repeats
     a 5-gram, so every 7th document gets a deterministic doubled
     12-token clause appended — identically on both engines — giving the
@@ -1077,8 +1079,8 @@ def q_curation_funnel(spark, sf_dir):
     exact-dedup survivor, Gopher quality, n-gram repetition, benchmark
     decontamination — per-document flag vector + folded keep. Every
     stage keeps its scale shape (fp groupBy + skew-splittable join /
-    per-row expressions / one explode + two aggs / broadcast bench
-    join)."""
+    per-row expressions / zero-shuffle Arrow gram-stats kernel /
+    broadcast bench join)."""
     from indu_doc_transformer_spark.operators import curation as cur
 
     d = _t(spark, sf_dir, "documents")

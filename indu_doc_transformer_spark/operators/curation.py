@@ -8,8 +8,9 @@ Scale design (100 TB): each stage keeps its own optimal shape — the
 dedup survivor is a groupBy over the content fingerprint (map-side
 partial combine, so a virally duplicated page folds locally) joined
 back on fp (AQE skew-splittable), the Gopher flags are pure per-row
-expressions (free), the repetition stats are one explode + two
-aggregations keyed by doc id, and decontamination broadcasts the
+expressions (free), the repetition stats are a zero-shuffle Arrow
+gram-stats kernel (a per-document statistic — no exploded gram rows;
+textstats._gram_stats_table), and decontamination broadcasts the
 benchmark gram set so the big side joins map-side. The final assembly
 is two id-keyed joins; at scale the doc id is the natural table key so
 these co-partition with the source.

@@ -747,6 +747,38 @@ def test_decontamination_broadcast_gate_degrades_gracefully(spark):
     assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, gated.collect()))
 
 
+def test_gram_stats_fast_matches_sql(spark):
+    """The Arrow gram-stats kernel must be bit-identical to the
+    explode+groupBy SQL form — adversarial tokenization cases: null,
+    empty, single token, tabs/newlines (Spark trim strips 0x20 only,
+    so a leading tab yields a leading empty token), unicode case
+    folding, heavy repetition, punctuation-glued tokens."""
+    from indu_doc_transformer_spark.operators import textstats as ts
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one"),
+        (3, "a b a b a b a b a b a b"),
+        (4, "\t leading tab\nand newlines MIXED Case Tokens here now ok"),
+        (5, ("x " * 30).strip()),
+        (6, "für straße unicode tokens repeated für straße unicode tokens repeated"),
+        (7, "p! q? r. s, " * 5),
+        (8, "  spaces   collapse    here between   tokens   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (ts.top_ngram_stats, ts.dup_ngram_char_stats):
+        fast = {
+            r.id: tuple(r)[1:]
+            for r in fn(df, "doc_id", "text", fast=True).collect()
+        }
+        slow = {
+            r.id: tuple(r)[1:]
+            for r in fn(df, "doc_id", "text", fast=False).collect()
+        }
+        assert fast == slow, fn.__name__
+
+
 def test_dup_ngram_char_stats_planted(spark):
     """A doc that repeats a clause has every n-gram inside the repeated
     span duplicated; a no-repeat doc scores 0 everywhere."""

