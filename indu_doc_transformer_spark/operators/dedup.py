@@ -365,11 +365,11 @@ def connected_components(
     Cost note for 100 TB: the convergence check is a full count() job
     over the label table every iteration — that is the price of early
     exit, and with diameter 2-4 it is 2-4 cheap scans of an id/label
-    table. For adversarial long-chain graphs (diameter ~ n) the
-    right move is not to tune the check cadence but to switch the
-    propagation itself to large-star/small-star contraction (O(log n)
-    rounds) — not needed for dedup workloads, where the chain length
-    is bounded by near-dup transitivity.
+    table. For adversarial long-chain graphs (diameter ~ n) the right
+    move is not to tune the check cadence but to switch to
+    ``connected_components_star`` (large-star/small-star contraction,
+    O(log n) rounds; equivalence + chain tests in
+    tests/test_operators.py).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -411,6 +411,95 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (the MapReduce CC algorithm of Kiveris et al.,
+    'Connected Components in MapReduce and Beyond'): converges in
+    O(log n) rounds even on adversarial long-chain graphs, where the
+    min-label propagation of ``connected_components`` needs
+    O(diameter) rounds. Same contract: (id, component) with component
+    = the smallest id in the cluster; only edge endpoints appear.
+
+    Scale design: each star round is ONE aggregate (min neighbor per
+    node — map-side partial combine, so a celebrity hub folds locally)
+    plus ONE equi-join back on the node key (AQE skew-splittable) and
+    a distinct to keep the edge set canonical. No collect_list of
+    neighborhoods anywhere — a hub node never materializes its
+    adjacency in a single row. Edge tables are localCheckpoint'ed per
+    round and the previous generation's blocks are released, as in
+    ``connected_components``.
+
+    Use this instead of ``connected_components`` when cluster diameter
+    is unbounded (e.g. transitive-closure chains from aggressive
+    thresholds); for ordinary near-dup workloads (diameter 2-4) the
+    propagation loop runs fewer jobs per round and is the default in
+    ``keep_list_from_edges``."""
+
+    def canonical(e: DataFrame) -> DataFrame:
+        return (
+            e.where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        # connect each STRICTLY LARGER neighbor v of u to u's minimum
+        return canonical(
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge from its larger endpoint: all neighbors of u
+        # here are <= u, so min(S ∪ {u}) = min neighbor
+        o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        return canonical(rewired.unionByName(m.select("u", F.col("m").alias("v"))))
+
+    e = canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev = e
+
+    def checksum(d: DataFrame):
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+        r = d.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (r.n, r.h)
+
+    sig = checksum(e)
+    for _ in range(max_iters):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig2 = checksum(e2)
+        _release_local_checkpoint(prev)
+        prev = e2
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:  # pragma: no cover - pathological non-convergence
+        raise RuntimeError(f"connected_components_star: no convergence in {max_iters}")
+    # converged: every edge is (node, root-of-component)
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .unionByName(e.select(F.col("v").alias("id"), F.col("v").alias("comp")))
+        .distinct()
+    )
+
+
 def near_dup_keep_list(
     df: DataFrame,
     id_col: str,
@@ -431,11 +520,16 @@ def near_dup_keep_list(
     return keep_list_from_edges(df.select(id_col), pairs)
 
 
-def keep_list_from_edges(ids: DataFrame, edges: DataFrame) -> DataFrame:
+def keep_list_from_edges(
+    ids: DataFrame, edges: DataFrame, algorithm: str = "propagation"
+) -> DataFrame:
     """Survivor ids given near-dup edges from ANY signal (or a union of
     signals): connected components over the edges, keep the min id per
     cluster plus every unpaired id. ``ids`` is a one-column frame;
     ``edges`` carries (id_a, id_b) over the same id space.
+    ``algorithm``: 'propagation' (default — fewest jobs at near-dup
+    diameters) or 'star' (large-star/small-star, for unbounded-chain
+    edge sets).
 
     The component table is clamped to ``ids`` before picking each
     cluster's representative: if an edge endpoint is NOT in ``ids``
@@ -445,7 +539,8 @@ def keep_list_from_edges(ids: DataFrame, edges: DataFrame) -> DataFrame:
     contract) the clamp is a no-op and the output is unchanged."""
     id_col = ids.columns[0]
     idn = ids.select(F.col(id_col).alias("id"))
-    comp = connected_components(edges, "id_a", "id_b").join(idn, "id", "left_semi")
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(edges, "id_a", "id_b").join(idn, "id", "left_semi")
     rep = comp.groupBy("comp").agg(F.min("id").alias("rep"))
     drop = comp.join(rep, "comp").where(F.col("id") != F.col("rep")).select("id")
     return idn.join(drop, "id", "left_anti").select(F.col("id").alias(id_col))

@@ -181,6 +181,34 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """The large-star/small-star contraction must produce exactly the
+    min-label components of the propagation loop on a mixed graph
+    (chain + clique + singleton pair)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (4, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    star = {r.id: r.comp for r in dd.connected_components_star(edges).collect()}
+    prop = {r.id: r.comp for r in dd.connected_components(edges).collect()}
+    assert star == prop
+
+
+def test_connected_components_star_handles_adversarial_chain(spark):
+    """A long transitive chain is the adversarial case the propagation
+    loop cannot handle (O(diameter) rounds): on a 128-node chain the
+    star contraction converges in O(log n) rounds while propagation
+    exhausts a 10-round budget and fails loudly."""
+    n = 128
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.comp for r in dd.connected_components_star(edges).collect()}
+    assert set(comp) == set(range(n)) and set(comp.values()) == {0}
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dd.connected_components(edges, max_iters=10)
+
+
 def test_keep_list_clamps_to_id_space(spark):
     """An edge endpoint OUTSIDE the caller's id space must not silently
     drop the whole cluster: the representative is the smallest id that
