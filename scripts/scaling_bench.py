@@ -31,6 +31,7 @@ sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 CORPUS = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/bench_corpus")
+APPENDIX_MARK = "<!-- appendix: hand-maintained, preserved across runs -->"
 
 
 def _mp_work(args):
@@ -96,7 +97,15 @@ def main() -> None:
     intrinsic_8_32 = (py32 / py8) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # everything below the appendix marker (variance history, probe
+    # tables, protocol notes) is hand-maintained: preserve it
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appendix = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if APPENDIX_MARK in old:
+            appendix = APPENDIX_MARK + old.split(APPENDIX_MARK, 1)[1]
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured baseline (this repo)
 
 Protocol (BASELINE.md): identical extraction job over the same on-disk
@@ -132,7 +141,8 @@ is a single-threaded asyncio pipeline — its page loop is row-at-a-time
 Python (page_processor.py:65 'very inefficient'), so {runs[2]['docs_per_sec']/2:.0f}
 docs/s/core for the vectorized kernel is the apples-to-apples
 single-node comparison point.
-""")
+
+""" + appendix)
     print(json.dumps({"eff_2_8": eff_2_8, "eff_8_32": eff_8_32,
                       "intrinsic_8_32": intrinsic_8_32, "runs": runs,
                       "py8": py8, "py32": py32}))
