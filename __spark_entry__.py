@@ -1074,6 +1074,35 @@ def q_line_dedup(spark, sf_dir):
     return dd.line_dedup(d, "doc_id", "s").withColumnRenamed("id", "doc_id")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + exact URL dedup (dedup.canonical_url /
+    url_dedup): deterministic messy URLs are synthesized from
+    (source, doc_id) — mixed-case scheme/host, default ports,
+    tracking params, fragments, trailing slashes — identically on
+    both engines; docs collapsing to the same canonical URL keep the
+    smallest id. doc_id%300 paths force real duplicate groups."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW.")).otherwise(
+            F.lit("http://www.")
+        ),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 300).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed&ref=1"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("?ref=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return (
+        dd.url_dedup(d.select("doc_id", url.alias("url")), "doc_id", "url")
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """The full curation composition in one job (operators/curation.py):
     exact-dedup survivor, Gopher quality, n-gram repetition, benchmark
@@ -1354,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (noted inline) or late additions that no longer fit the cap;
         # ALL of them run under scripts/validate_entry.py each round ----
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
+        "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_stratified_sample": q_stratified_sample,  # deterministic sampling (late addition)
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
@@ -2930,6 +2960,64 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
     }
+    d["q_url_dedup"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'http://www.' END)
+                 || source || '.Example.COM'
+                 || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+                 || '/p/' || cast(doc_id % 300 as varchar)
+                 || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=1'
+                          WHEN doc_id % 5 = 1 THEN '?ref=1&utm_campaign=x'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 regexp_replace(url, '#.*$', '') AS no_frag,
+                 regexp_extract(regexp_replace(url, '#.*$', ''),
+                                '^[^:/?#]+://[^/?#]*') AS sh_raw
+          FROM u
+        ),
+        c2 AS (
+          SELECT doc_id,
+                 regexp_replace(lower(sh_raw), ':(80|443)$', '') AS sh,
+                 substr(no_frag, length(sh_raw) + 1) AS rest
+          FROM c
+        ),
+        c3 AS (
+          SELECT doc_id, sh,
+                 regexp_replace(regexp_extract(rest, '^[^?]*'), '/$', '') AS path,
+                 CASE WHEN strpos(rest, '?') > 0
+                      THEN regexp_replace(rest, '^[^?]*\\?', '') END AS qstr
+          FROM c2
+        ),
+        c4 AS (
+          SELECT doc_id, sh, path,
+                 CASE WHEN qstr IS NULL THEN CAST(NULL AS VARCHAR[])
+                      ELSE list_filter(string_split(qstr, '&'),
+                             p -> p != '' AND NOT regexp_matches(
+                                    p, '^(utm_[^=]*|gclid|fbclid)='))
+                 END AS params
+          FROM c3
+        ),
+        canon AS (
+          SELECT doc_id,
+                 sh || path ||
+                 (CASE WHEN params IS NOT NULL AND len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END) AS canon_url
+          FROM c4
+        ),
+        g AS (SELECT canon_url, min(doc_id) AS k,
+                     cast(count(*) as bigint) AS dup_count
+              FROM canon GROUP BY canon_url)
+        SELECT canon.doc_id, canon.canon_url, g.dup_count,
+               CASE WHEN canon.doc_id = g.k THEN 1 ELSE 0 END AS keep
+        FROM canon JOIN g USING (canon_url)
+    """
     # -- derived oracles (built from the entries above so the entity
     # SQL cannot silently diverge between the base check and the
     # search/tree/lookup checks) --------------------------------------

@@ -708,6 +708,58 @@ def embedding_near_dup_pairs(
     )
 
 
+def canonical_url(c: Column) -> Column:
+    """URL canonicalization (the standard Common-Crawl dedup key):
+    drop the fragment, lowercase scheme+authority, strip default ports
+    (:80/:443), drop tracking query params (utm_*, gclid, fbclid),
+    drop a trailing slash. Pure engine-portable expressions — the
+    DuckDB oracle applies the same regexes (q_url_dedup)."""
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    sh_raw = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*", 0)
+    sh = F.regexp_replace(F.lower(sh_raw), r":(80|443)$", "")
+    rest = F.substr(no_frag, F.length(sh_raw) + 1)
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^?]*", 0), r"/$", ""
+    )
+    qstr = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    )
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid)="),
+    )
+    query = F.when(
+        qstr.isNotNull() & (F.size(params) > 0),
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(sh, path, query)
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Exact URL-level dedup over the canonical form: (id, canon_url,
+    dup_count, keep) with keep=1 for the smallest id of each canonical
+    group. Same skew-safe shape as exact_duplicates — a groupBy
+    aggregate (map-side combine, so a viral URL folds locally) joined
+    back on the canonical key (AQE skew-splittable); never a window
+    partitioned by the URL."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        canonical_url(F.col(url_col)).alias("canon_url"),
+    )
+    groups = base.groupBy("canon_url").agg(
+        F.min("id").alias("_keep_id"), F.count("*").cast("long").alias("dup_count")
+    )
+    return (
+        base.join(groups, "canon_url")
+        .select(
+            "id",
+            "canon_url",
+            "dup_count",
+            (F.col("id") == F.col("_keep_id")).cast("int").alias("keep"),
+        )
+    )
+
+
 def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4-style global line-level deduplication: every distinct line
     keeps only its FIRST occurrence corpus-wide (lowest (doc id, line

@@ -687,6 +687,32 @@ def test_token_shards_scalable_equals_direct(spark):
         cum += n
 
 
+def test_canonical_url_cases(spark):
+    """Canonicalization: case folding of scheme+host only, fragment
+    strip, default-port strip, tracking-param removal (preserving the
+    rest of the query), trailing-slash strip."""
+    cases = [
+        ("HTTP://WWW.Ex.COM/Path/", "http://www.ex.com/Path"),
+        ("https://ex.com:443/a?utm_source=x&q=1#frag", "https://ex.com/a?q=1"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"),
+        ("http://ex.com/a?gclid=z&keep=2&fbclid=y", "http://ex.com/a?keep=2"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
+        ("http://ex.com/A/B?x=1", "http://ex.com/A/B?x=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select("i", dd.canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+    out = {r.id: (r.dup_count, r.keep) for r in dd.url_dedup(
+        spark.createDataFrame(
+            [(1, "http://a.com/x/"), (2, "HTTP://A.COM/x"), (3, "http://b.com/y")],
+            "doc_id long, url string"),
+        "doc_id", "url").collect()}
+    assert out == {1: (2, 1), 2: (2, 0), 3: (1, 1)}
+
+
 def test_line_dedup_first_occurrence_wins(spark):
     """Global line dedup keeps each line's first (doc, position)
     occurrence; later docs lose repeated lines; fully-absorbed docs
