@@ -17,21 +17,48 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.cache import register_cache
 from .dedup import embedding_cosine
 
 
-def _topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
+def _topk(scored: DataFrame, k: int, num_salts: int = 16) -> DataFrame:
+    """Per-probe top-k by (cos_sim DESC, vec_id ASC) as a salted
+    two-phase aggregation, NOT a row_number window: a window
+    partitioned by probe_id serializes each probe's full candidate set
+    in one task (a hot LSH/IVF bucket at 100 TB), and AQE never splits
+    window partitions. Phase 1 caps each (probe, salt) group to its
+    local k (map-side combine bounds the collect_list); phase 2 merges
+    the <= num_salts*k survivors per probe. The sort key struct
+    (-cos_sim, vec_id) reproduces the window ordering exactly —
+    deterministic, tie-broken by vec_id."""
+    key = F.struct(
+        (-F.col("cos_sim")).alias("neg_sim"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cos_sim").alias("cos_sim"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "cos_sim", "rank")
+    # degenerate candidates (zero-norm vector -> NULL cosine) sorted
+    # LAST under the old window (DESC NULLS LAST) but would sort FIRST
+    # in array_sort's null-first struct order: drop them outright —
+    # they are never meaningful neighbors
+    salted = scored.where(F.col("cos_sim").isNotNull()).withColumn(
+        "_salt", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(num_salts))
+    )
+    local = salted.groupBy("probe_id", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("tk")
+    )
+    merged = local.groupBy("probe_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk")
+    )
+    return merged.select(
+        "probe_id", F.posexplode("tk").alias("_pos", "s")
+    ).select(
+        "probe_id",
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.cos_sim").alias("cos_sim"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
     )
 
 
