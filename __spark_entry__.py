@@ -1103,6 +1103,31 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (dedup.incremental_exact_dedup): docs
+    with id < 100 are the accumulated history (their fingerprints form
+    the store); ids >= 100 are the new batch. A batch doc survives iff
+    its fp is unseen in history AND it is the smallest id of its
+    in-batch fp group — anti join against the store, no distinct over
+    history, no reprocessing of historical text. The raw corpus has no
+    exact duplicates, so content is a deterministic boilerplate page
+    keyed by doc_id % 150 (identically on both engines): residues
+    0..99 are history-seen, 100..149 form fresh in-batch groups —
+    both drop channels carry signal, and the messy casing/whitespace
+    exercises the normalization inside the fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.concat(
+        F.lit("  Boilerplate\tPage "), (F.col("doc_id") % 150).cast("string")
+    )
+    d = d.select("doc_id", boiler.alias("s"))
+    hist = d.where(F.col("doc_id") < 100)
+    batch = d.where(F.col("doc_id") >= 100)
+    seen = hist.select(F.md5(ts.norm_text(F.col("s"))).alias("fp"))
+    return dd.incremental_exact_dedup(batch, seen, "doc_id", "s").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """The full curation composition in one job (operators/curation.py):
     exact-dedup survivor, Gopher quality, n-gram repetition, benchmark
@@ -1384,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALL of them run under scripts/validate_entry.py each round ----
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
+        "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
         "q_stratified_sample": q_stratified_sample,  # deterministic sampling (late addition)
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
@@ -2960,6 +2986,20 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
     }
+    d["q_incremental_dedup"] = f"""
+        WITH b AS (SELECT doc_id,
+                          '  Boilerplate' || chr(9) || 'Page '
+                          || cast(doc_id % 150 as varchar) AS text
+                   FROM documents),
+        f AS (SELECT doc_id, md5({_NORM}) AS fp FROM b),
+        hist AS (SELECT fp FROM f WHERE doc_id < 100),
+        batch AS (SELECT doc_id, fp FROM f WHERE doc_id >= 100),
+        w AS (SELECT fp, min(doc_id) AS kid FROM batch GROUP BY fp),
+        wu AS (SELECT kid FROM w WHERE fp NOT IN (SELECT fp FROM hist))
+        SELECT doc_id, fp,
+               CASE WHEN doc_id IN (SELECT kid FROM wu) THEN 1 ELSE 0 END AS keep
+        FROM batch
+    """
     d["q_url_dedup"] = """
         WITH u AS (
           SELECT doc_id,

@@ -708,6 +708,46 @@ def embedding_near_dup_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_fps: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental ingest dedup — the shape a 100 TB pipeline actually
+    runs day over day: dedup a NEW batch against the accumulated
+    fingerprint store WITHOUT touching historical text. Returns
+    (id, fp, keep): keep=1 iff the doc's content fingerprint is absent
+    from ``seen_fps`` (one column ``fp``) AND the doc is the smallest
+    id of its fingerprint group within the batch.
+
+    Scale: the in-batch survivor is the exact_duplicates aggregate
+    shape (groupBy fp, map-side combine); the history check is a
+    LEFT ANTI join of only the batch's candidate winners (one row per
+    distinct batch fp) against the store — anti join neither
+    duplicates on store-side duplicate fps nor needs a distinct over
+    the history, and at scale the store is a bucketed table on fp so
+    the join co-partitions with no shuffle of history. The caller
+    appends ``keep=1`` rows' fps to the store afterwards (idempotent:
+    re-appending an existing fp only adds a duplicate the next
+    anti-join ignores)."""
+    base = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(norm_text(F.col(text_col))).alias("fp")
+    )
+    batch_keep = base.groupBy("fp").agg(F.min("id").alias("_keep_id"))
+    seen = seen_fps.select(F.col(seen_fps.columns[0]).alias("fp"))
+    winners = (
+        batch_keep.join(seen, "fp", "left_anti")
+        .select(F.col("_keep_id").alias("id"))
+        .withColumn("_unseen_winner", F.lit(1))
+    )
+    return (
+        base.join(winners, "id", "left")
+        .select(
+            "id",
+            "fp",
+            F.coalesce("_unseen_winner", F.lit(0)).cast("int").alias("keep"),
+        )
+    )
+
+
 def canonical_url(c: Column) -> Column:
     """URL canonicalization (the standard Common-Crawl dedup key):
     drop the fragment, lowercase scheme+authority, strip default ports

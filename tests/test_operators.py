@@ -687,6 +687,23 @@ def test_token_shards_scalable_equals_direct(spark):
         cum += n
 
 
+def test_incremental_exact_dedup(spark):
+    """Batch docs survive iff unseen in the history store AND first of
+    their in-batch fp group; duplicate fps IN the store must not fan
+    out the join (anti-join semantics)."""
+    batch = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "brand new"),
+         (13, "also new")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("seen before",), ("seen before",)], "t string"
+    ).select(F.md5(F.lower(F.trim(F.regexp_replace("t", r"\s+", " ")))).alias("fp"))
+    out = {r.id: r.keep for r in dd.incremental_exact_dedup(
+        batch, seen, "doc_id", "text").collect()}
+    assert out == {10: 0, 11: 1, 12: 0, 13: 1}
+
+
 def test_canonical_url_cases(spark):
     """Canonicalization: case folding of scheme+host only, fragment
     strip, default-port strip, tracking-param removal (preserving the
