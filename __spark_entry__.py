@@ -609,6 +609,31 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("view_value_asof"))
 
 
+def q_asof_join_bucketed(spark, sf_dir):
+    """The skew-safe bucketed as-of variant (temporal.as_of_join_
+    bucketed: hot key spread across 1-hour time buckets, carry via a
+    per-bucket aggregate) — IDENTICAL output to q_asof_join, checked
+    against the SAME DuckDB ASOF LEFT JOIN oracle."""
+    from indu_doc_transformer_spark.operators.temporal import as_of_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "us")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    out = as_of_join_bucketed(
+        clicks, views, "user_id", "us", "us", ["view_value"],
+        bucket_width=3_600_000_000,
+    )
+    return out.select("event_id", "user_id", F.col("view_value_asof"))
+
+
 def q_range_join(spark, sf_dir):
     """Interval join (purchases within one hour after a click) via the
     binned equi-join — the scale shape for time-window joins (Spark
@@ -1410,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
+        "q_asof_join_bucketed": q_asof_join_bucketed,  # skew-safe as-of ⊂ q_asof_join oracle
         "q_stratified_sample": q_stratified_sample,  # deterministic sampling (late addition)
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
@@ -2986,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
         """,
     }
+    d["q_asof_join_bucketed"] = d["q_asof_join"]  # identical semantics
     d["q_incremental_dedup"] = f"""
         WITH b AS (SELECT doc_id,
                           '  Boilerplate' || chr(9) || 'Page '

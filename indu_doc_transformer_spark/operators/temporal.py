@@ -67,19 +67,10 @@ def range_join(
              *[f"{c}{suffix}" for c in payload_cols])
 
 
-def as_of_join(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    left_ts: str,
-    right_ts: str,
-    payload_cols: list[str],
-    suffix: str = "_asof",
-) -> DataFrame:
-    """Backward as-of join (right_ts <= left_ts, ties include the
-    right row). Returns every left row plus the latest right payload
-    columns (null when no prior right row exists — LEFT ASOF
-    semantics)."""
+def _asof_union(left, right, key, left_ts, right_ts, payload_cols, suffix):
+    """Shared as-of machinery: the column-aligned UNION of both sides
+    (right rows sort BEFORE left rows at equal ts via _side) plus the
+    payload struct that is non-null exactly for right rows."""
     lcols = left.columns
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     r = right.select(
@@ -95,21 +86,45 @@ def as_of_join(
         if c not in l.columns:
             l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
     u = l.unionByName(r.select(*l.columns))
-    # right rows sort BEFORE left rows at equal ts, so ties are visible
+    # ONE struct holding all payload columns: a matched right row whose
+    # payload VALUE is null is still the row that wins (ASOF
+    # semantics), and every returned column comes from the same right
+    # row — filling each column independently with last(ignorenulls)
+    # would skip null payloads in favor of older rows and could mix
+    # rows across columns
+    pstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in payload_cols]),
+    )
+    return u, lcols, pstruct
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join (right_ts <= left_ts, ties include the
+    right row). Returns every left row plus the latest right payload
+    columns (null when no prior right row exists — LEFT ASOF
+    semantics).
+
+    Scale note: ONE window partitioned by the key — linear per key,
+    never a range product, but a pathologically hot key (one entity
+    owning a large share of all events) still sorts in a single task.
+    For that regime use ``as_of_join_bucketed``, which spreads each
+    key across time buckets (identical output; equivalence-tested)."""
+    u, lcols, pstruct = _asof_union(
+        left, right, key, left_ts, right_ts, payload_cols, suffix
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # forward-fill ONE struct holding all payload columns: the struct is
-    # non-null exactly for right rows, so a matched right row whose
-    # payload VALUE is null is still the row that wins (ASOF semantics),
-    # and every returned column comes from the same right row — filling
-    # each column independently with last(ignorenulls) would skip null
-    # payloads in favor of older rows and could mix rows across columns
-    pstruct = F.when(
-        F.col("_side") == 0,
-        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in payload_cols]),
     )
     filled = F.last(pstruct, ignorenulls=True).over(w)
     out = u.select(
@@ -118,3 +133,70 @@ def as_of_join(
         *[filled.getField(c).alias(f"{c}{suffix}") for c in payload_cols],
     )
     return out.where(F.col("_side") == 1).drop("_side")
+
+
+def as_of_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    bucket_width: int,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Skew-safe as-of join: identical semantics to ``as_of_join`` but
+    a hot key never sorts in one task. Both sides are binned into
+    ``bucket_width``-sized time buckets; the in-bucket fill is a
+    window partitioned by (key, bucket) — the hot key's rows split
+    across its time range — and the cross-bucket carry (the latest
+    right payload from any EARLIER bucket) is a max-struct window over
+    the per-(key, bucket) aggregate table, which holds one row per
+    bucket, not per event. Pick ``bucket_width`` so a single (key,
+    bucket) cell fits a task at the target scale.
+
+    Right-side ties at the same timestamp: the carry picks the max by
+    (ts, payload) struct order — deterministic; the plain as_of_join's
+    window is order-nondeterministic there, so (like DuckDB ASOF)
+    duplicate right timestamps per key should be pre-aggregated."""
+    u, lcols, pstruct = _asof_union(
+        left, right, key, left_ts, right_ts, payload_cols, suffix
+    )
+    u = u.withColumn("_b", F.floor(F.col("_ts") / F.lit(bucket_width)).cast("long"))
+    w_in = (
+        Window.partitionBy(key, "_b")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_fill", F.last(pstruct, ignorenulls=True).over(w_in))
+    # per-(key, bucket) LAST right payload, then carry = max over all
+    # strictly-earlier buckets (struct ordered by ts first)
+    blast = (
+        u.where(F.col("_side") == 0)
+        .groupBy(key, "_b")
+        .agg(F.max(F.struct(F.col("_ts").alias("ts"), pstruct.alias("p"))).alias("_bl"))
+    )
+    bkts = u.select(key, "_b").distinct()
+    w_c = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        bkts.join(blast, [key, "_b"], "left")
+        .withColumn("_carry", F.max("_bl").over(w_c))
+        .select(key, "_b", "_carry")
+    )
+    # pick the winning right ROW first (struct-level coalesce), THEN
+    # extract fields: a matched right row with a null payload VALUE
+    # must yield null, not fall through to an older bucket's carry
+    best = F.coalesce(F.col("_fill"), F.col("_carry").getField("p"))
+    out = (
+        u.where(F.col("_side") == 1)
+        .join(carry, [key, "_b"], "left")
+        .select(
+            *lcols,
+            *[best.getField(c).alias(f"{c}{suffix}") for c in payload_cols],
+        )
+    )
+    return out

@@ -334,6 +334,44 @@ def test_as_of_join_null_payload_from_matched_row(spark):
     assert r.v_asof is None and r.s_asof == "new"
 
 
+def test_as_of_join_bucketed_matches_plain(spark):
+    """The skew-safe bucketed as-of must equal the single-window form
+    on a hot-keyed random dataset for ANY bucket width — including a
+    width spanning everything (pure carry degenerates) and a tiny one
+    (pure in-bucket fill degenerates) — plus negative timestamps and
+    the null-payload-from-matched-row rule."""
+    import random
+
+    from indu_doc_transformer_spark.operators.temporal import (
+        as_of_join,
+        as_of_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    rights = [
+        (f"k{k}", t, None if t % 97 == 0 else float(k * 1000 + t))
+        for k in range(3)
+        for t in rng.sample(range(-200, 1000), 60)
+    ]
+    lefts = [
+        (i, f"k{rng.randrange(3) if i % 5 else 0}", rng.randrange(-250, 1100))
+        for i in range(400)
+    ]
+    left = spark.createDataFrame(lefts, "id bigint, k string, ts bigint")
+    right = spark.createDataFrame(rights, "k string, ts bigint, v double")
+    want = {
+        r.id: r.v_asof for r in as_of_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    for width in (7, 100, 100000):
+        got = {
+            r.id: r.v_asof
+            for r in as_of_join_bucketed(
+                left, right, "k", "ts", "ts", ["v"], bucket_width=width
+            ).collect()
+        }
+        assert got == want, width
+
+
 def test_range_join_negative_ts_and_duplicate_left(spark):
     """Bucket ids must FLOOR (cast-to-long truncates toward zero and
     misaligns negative timestamps), and genuinely duplicate left rows
