@@ -144,16 +144,22 @@ def x_spans(spark, sf_dir):
     """Structural spans oracled end-to-end over the staged extraction
     parquet: both engines explode the nested span array independently.
     loc is array<double>; the driver canonicalizer sorts cell values
-    and cannot hash lists, so it is projected through a fixed-format
-    string join (%.3f on both engines — plain double->string rendering
-    differs between them)."""
+    and cannot hash lists, so it is projected through
+    floor(x*1000 + 0.5) milli-units (plain double->string rendering
+    differs between the engines, and printf %.3f would too: Java
+    rounds HALF_UP where DuckDB rounds half-even — floor arithmetic is
+    identical IEEE on both)."""
     from indu_doc_transformer_spark.operators import extraction as ex
 
     ext = spark.read.parquet(_extracted_parquet(spark, sf_dir))
     return ex.spans_table(ext).withColumn(
         "loc",
         F.array_join(
-            F.transform("loc", lambda x: F.format_string("%.3f", x)), ","
+            F.transform(
+                "loc",
+                lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
         ),
     )
 
@@ -3154,7 +3160,8 @@ def oracle_sql() -> dict[str, str]:
                FROM e WHERE len(spans) > 0)
         SELECT url, page_type, u.region AS region, u.kind AS kind,
                u.row_idx AS row_idx,
-               array_to_string(list_transform(u.loc, x -> printf('%.3f', x)), ',')
+               array_to_string(list_transform(u.loc,
+                 x -> cast(cast(floor(x * 1000 + 0.5) as bigint) as varchar)), ',')
                  AS loc,
                u.text AS text
         FROM sp

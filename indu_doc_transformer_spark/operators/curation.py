@@ -49,12 +49,15 @@ def curate(
     # window partitioned by fp: one viral page (one fp, millions of
     # copies) would serialize a window in a single task, while the
     # groupBy min gets map-side partial combine and the fp join is
-    # AQE skew-splittable (same shape as dedup.exact_duplicates)
+    # AQE skew-splittable (same shape as dedup.exact_duplicates).
+    # eqNullSafe: groupBy keeps a NULL-fp group (NULL-text docs), and
+    # the join-back must not silently drop it — the window this
+    # replaced treated NULL as an ordinary partition value
     keep = base.groupBy("fp").agg(F.min("id").alias("_keep_id"))
     base = (
-        base.join(keep, "fp")
+        base.join(keep.withColumnRenamed("fp", "_fp"), base["fp"].eqNullSafe(F.col("_fp")))
         .withColumn("dedup_keep", (F.col("id") == F.col("_keep_id")).cast("int"))
-        .drop("fp", "_keep_id")
+        .drop("fp", "_fp", "_keep_id")
     )
 
     rep = ts.top_ngram_stats(docs, id_col, text_col).select(

@@ -7,7 +7,8 @@ Scale design (100 TB): the benchmark side is normally small (thousands
 of eval documents), so its distinct gram set is broadcast and the
 training side joins map-side — no shuffle of the 100-TB gram explosion;
 an oversized bench input falls back to a shuffle join instead of
-OOMing (the hint is gated on a bench-side count). The only
+OOMing (the hint is gated on Catalyst's size estimate of the bench
+plan — no job at plan-build time). The only
 wide operations are the per-document aggregation of hit counts (one
 shuffle keyed by doc id) and the benchmark distinct (tiny). Grams are
 md5-hashed before the join so the broadcast carries 32-byte keys, not
@@ -41,7 +42,7 @@ def ngram_contamination(
     text_col: str,
     n: int = 8,
     max_frac: float = 0.2,
-    broadcast_max_bench_docs: int = 50_000,
+    broadcast_max_bench_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Per training document: the fraction of its distinct n-grams that
     appear anywhere in the benchmark set, plus the keep decision.
@@ -49,19 +50,24 @@ def ngram_contamination(
     Returns (id, n_grams, n_contaminated, contam_frac, keep). Documents
     shorter than ``n`` tokens have zero grams and count as clean.
 
-    The broadcast of the benchmark gram set is GATED, not forced: one
-    cheap count of the bench side decides (≤ ``broadcast_max_bench_docs``
-    documents → broadcast hint; above it the join degrades gracefully
-    to a shuffle join instead of OOMing the driver/executors on a
-    misused bench input, e.g. bench=train). The default cap assumes
-    eval-suite-shaped benches (~hundreds of distinct grams per doc →
-    low-GB broadcast worst case); raise it only with executor memory
-    to match.
-    """
-    if bench.count() > broadcast_max_bench_docs:
-        hint = lambda d: d  # too big to broadcast: plain (shuffle) join
-    else:
-        hint = broadcast
+    The broadcast of the benchmark gram set is GATED, not forced —
+    and the gate runs NO job at plan-build time (the codebase rule;
+    similarity.ann_lsh_topk refuses hidden plan-build jobs the same
+    way): it reads Catalyst's sizeInBytes estimate of the bench plan.
+    A bench input estimated over ``broadcast_max_bench_bytes`` of raw
+    source (e.g. a misused bench=train) degrades gracefully to a
+    shuffle join instead of OOMing the driver/executors; eval-suite-
+    shaped benches stay well under the default 512 MiB and keep the
+    map-side join. The estimate is conservative — raw input bytes,
+    while the broadcast itself carries only distinct 32-byte gram
+    hashes."""
+    try:
+        est = int(
+            bench._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # estimate unavailable: assume bench-shaped input
+        est = 0
+    hint = broadcast if est <= broadcast_max_bench_bytes else (lambda d: d)
     # ONE pass over the training side: the gram construction (an
     # interpreted higher-order md5 fold, the dominant per-row cost) is
     # evaluated once; explode_outer keeps zero-gram docs; the broadcast

@@ -609,7 +609,13 @@ def simhash_near_dup_pairs_banded(
 
 def embedding_cosine(a: Column, b: Column) -> Column:
     """Cosine similarity via an explicit sequential fold (identical
-    summation order to the DuckDB oracle), rounded to 6 decimals."""
+    summation order to the DuckDB oracle), rounded to 6 decimals.
+
+    A zero-norm vector yields NaN, NOT a job-killing error: ANSI-mode
+    Spark raises divideByZeroError even for doubles, so the division
+    is guarded; DuckDB's IEEE 0/0 produces the same NaN, and both
+    engines order NaN first under DESC and treat NaN >= t as true, so
+    the semantics stay engine-identical for degenerate vectors."""
     def dot(x, y):
         return F.aggregate(
             F.sequence(F.lit(1), F.size(x)),
@@ -618,8 +624,9 @@ def embedding_cosine(a: Column, b: Column) -> Column:
             + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
         )
 
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
     return F.round(
-        dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))),
+        F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(float("nan"))),
         6,
     )
 
@@ -789,8 +796,13 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     groups = base.groupBy("canon_url").agg(
         F.min("id").alias("_keep_id"), F.count("*").cast("long").alias("dup_count")
     )
+    # eqNullSafe: NULL urls form their own canonical group (groupBy
+    # keeps them); the join-back must return them flagged, not drop them
     return (
-        base.join(groups, "canon_url")
+        base.join(
+            groups.withColumnRenamed("canon_url", "_cu"),
+            base["canon_url"].eqNullSafe(F.col("_cu")),
+        )
         .select(
             "id",
             "canon_url",

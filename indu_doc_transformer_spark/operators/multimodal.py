@@ -189,10 +189,12 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
         ]
     except ValueError:
         p = bytes(payload)
-        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-            raise  # corrupt WAV: a real decode failure, not another codec
-        # a RIFF container that is NOT WAVE (e.g. RIFF/AVI) is just
-        # another codec: fall through to the fake-feature stand-in
+        if p[:4] == b"RIFF" and (len(p) < 12 or p[8:12] == b"WAVE"):
+            # corrupt WAV — including a RIFF header truncated before
+            # its form tag: a real decode failure, not another codec
+            raise
+        # a RIFF container whose form tag is NOT WAVE (e.g. RIFF/AVI)
+        # is just another codec: fall through to the fake stand-in
         if not fake:
             raise NotImplementedError(
                 "compressed audio decode requires ffmpeg; run with fake=True"

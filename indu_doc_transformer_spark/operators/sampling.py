@@ -56,8 +56,14 @@ def source_caps(
         ).alias("topk")
     )
     pos = F.array_position(F.col("topk"), F.col("id"))
+    # eqNullSafe: a NULL source is a legitimate stratum (unknown
+    # provenance) — groupBy keeps it as a group, and the join-back must
+    # rank it like the replaced window did, not silently drop the rows
     return (
-        base.join(F.broadcast(topk), "source")
+        base.join(
+            F.broadcast(topk.withColumnRenamed("source", "_src")),
+            base["source"].eqNullSafe(F.col("_src")),
+        )
         .select(
             "id",
             "source",

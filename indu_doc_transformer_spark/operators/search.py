@@ -162,7 +162,10 @@ def build_target_index(
     The attribute map is persisted (plans/cache contract): it is the
     join input of every index consumer, and leaving it lazy re-derives
     its join+groupBy subtree under each one — measured 50s -> 4s for
-    one search at sf0.01 when shared."""
+    one search at sf0.01 when shared. A session that builds indexes
+    REPEATEDLY must pass ``cache`` and unpersist the handles
+    (plans.cache.temp_caches); the None default deliberately keeps the
+    map warm for the build-once-search-many lifecycle."""
     amap = register_cache(attr_search_map(tables), cache)
     return (
         tables["xtargets"]
@@ -189,7 +192,9 @@ def build_connection_index(
     The attribute map is persisted (plans/cache contract): it feeds
     the three role joins AND the link-attribute join; lazy, each of
     those re-executes the full amap subtree — measured 50s -> 4s per
-    search at sf0.01 when shared."""
+    search at sf0.01 when shared. Pass ``cache`` and unpersist when
+    building indexes repeatedly in one session (see
+    build_target_index)."""
     amap = register_cache(attr_search_map(tables), cache)
     xt = (
         tables["xtargets"]

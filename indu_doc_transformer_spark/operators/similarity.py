@@ -32,18 +32,24 @@ def _topk(scored: DataFrame, k: int, num_salts: int = 16) -> DataFrame:
     window partitions. Phase 1 caps each (probe, salt) group to its
     local k (map-side combine bounds the collect_list); phase 2 merges
     the <= num_salts*k survivors per probe. The sort key struct
-    (-cos_sim, vec_id) reproduces the window ordering exactly —
-    deterministic, tie-broken by vec_id."""
+    (order-class, -cos_sim, vec_id) reproduces the window ordering
+    EXACTLY for degenerate candidates too: both engines order a DESC
+    sort as NaN first (IEEE 0/0 from a zero-norm vector; NaN compares
+    greater than everything in Spark and DuckDB), then real
+    similarities, then NULLS LAST — while a bare array_sort would
+    misplace both. Deterministic, tie-broken by vec_id."""
     key = F.struct(
-        (-F.col("cos_sim")).alias("neg_sim"),
+        F.when(F.isnan("cos_sim"), -1)
+        .when(F.col("cos_sim").isNull(), 1)
+        .otherwise(0)
+        .alias("order_class"),
+        F.coalesce(
+            F.when(~F.isnan("cos_sim"), -F.col("cos_sim")), F.lit(0.0)
+        ).alias("neg_sim"),
         F.col("vec_id").alias("vec_id"),
         F.col("cos_sim").alias("cos_sim"),
     )
-    # degenerate candidates (zero-norm vector -> NULL cosine) sorted
-    # LAST under the old window (DESC NULLS LAST) but would sort FIRST
-    # in array_sort's null-first struct order: drop them outright —
-    # they are never meaningful neighbors
-    salted = scored.where(F.col("cos_sim").isNotNull()).withColumn(
+    salted = scored.withColumn(
         "_salt", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(num_salts))
     )
     local = salted.groupBy("probe_id", "_salt").agg(
@@ -176,9 +182,12 @@ def nearest_cells(v_col: str, centroids: DataFrame, n: int) -> Column:
         )
 
     def cos(cv: str) -> str:
+        # zero-norm guard: ANSI Spark raises divideByZeroError even for
+        # doubles — emit NaN like IEEE/DuckDB instead of killing the job
+        denom = f"(sqrt({dot(cv, cv)}) * sqrt({dot(v_col, v_col)}))"
         return (
-            f"round({dot(cv, v_col)} / (sqrt({dot(cv, cv)}) * "
-            f"sqrt({dot(v_col, v_col)})), 6)"
+            f"round(CASE WHEN {denom} != 0 THEN {dot(cv, v_col)} / {denom} "
+            f"ELSE cast('NaN' as double) END, 6)"
         )
 
     structs = []

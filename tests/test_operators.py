@@ -725,6 +725,55 @@ def test_token_shards_scalable_equals_direct(spark):
         cum += n
 
 
+def test_null_keys_survive_the_skew_rewrites(spark):
+    """The window->aggregate+join rewrites must not silently DROP rows
+    whose derived key is NULL: a window treats NULL as an ordinary
+    partition value, so the join-backs are null-safe (curate on NULL
+    text, source_caps on NULL source, url_dedup on NULL url)."""
+    from indu_doc_transformer_spark.operators import curation as cur
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None),
+         (3, "the quick brown fox jumps over lazy dogs today fine")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "unrelated eval words")],
+                                  "doc_id long, text string")
+    flags = {r.id: r.dedup_keep for r in cur.curate(docs, bench, contam_n=3).collect()}
+    assert set(flags) == {1, 2, 3}          # nothing vanished
+    assert (flags[1], flags[2]) == (1, 0)   # NULL fps form ONE dedup group
+
+    src = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], "doc_id long, source string"
+    )
+    caps = {r.id: (r.rank, r.keep)
+            for r in sp.source_caps(src, "doc_id", "source", 1).collect()}
+    assert caps == {1: (1, 1), 2: (None, 0), 3: (1, 1)}  # NULL = one stratum
+
+    urls = spark.createDataFrame(
+        [(1, None), (2, None), (3, "http://a.com/x")], "doc_id long, url string"
+    )
+    ud = {r.id: (r.dup_count, r.keep)
+          for r in dd.url_dedup(urls, "doc_id", "url").collect()}
+    assert ud == {1: (2, 1), 2: (2, 0), 3: (1, 1)}
+
+
+def test_topk_degenerate_cosines_keep_window_order(spark):
+    """A zero-norm candidate yields a NaN cosine; both engines order a
+    DESC sort NaN-first, and the two-phase top-k must reproduce that
+    (and NULLs-last) instead of dropping or misplacing them."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0]), (3, [1.0, 0.1])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = sorted(
+        sim.ann_bruteforce_topk(df, "vec_id", "embedding", [0], k=4).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in rows] == [2, 3, 1]  # NaN first, then cos DESC
+
+
 def test_incremental_exact_dedup(spark):
     """Batch docs survive iff unseen in the history store AND first of
     their in-batch fp group; duplicate fps IN the store must not fan
@@ -833,6 +882,10 @@ def test_riff_non_wave_container_falls_through_to_fake(spark):
     # a corrupt RIFF/WAVE still raises (real decode failure)
     with pytest.raises(ValueError):
         mm.decode_audio(b"RIFF" + st.pack("<I", 8) + b"WAVE", fake=True)
+    # a RIFF header truncated BEFORE its form tag is corrupt, not
+    # another codec — must not slip through to the fake path
+    with pytest.raises(ValueError):
+        mm.decode_audio(b"RIFF" + st.pack("<I", 8) + b"WA", fake=True)
 
 
 def test_decontamination_broadcast_gate_degrades_gracefully(spark):
@@ -851,9 +904,16 @@ def test_decontamination_broadcast_gate_degrades_gracefully(spark):
     kw = dict(n=3, max_frac=0.2)
     hinted = dc.ngram_contamination(docs, bench, "doc_id", "text", **kw)
     gated = dc.ngram_contamination(
-        docs, bench, "doc_id", "text", broadcast_max_bench_docs=0, **kw
+        docs, bench, "doc_id", "text", broadcast_max_bench_bytes=0, **kw
     )
     assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, gated.collect()))
+    # the gate must read Catalyst's size estimate, never run a job: no
+    # Spark jobs may fire while merely CONSTRUCTING the plan
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    dc.ngram_contamination(docs, bench, "doc_id", "text", **kw)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
 
 
 def test_gram_stats_fast_matches_sql(spark):
