@@ -107,3 +107,66 @@ def test_iceberg_branch_smoke(monkeypatch):
 
     cat.table_exists(sp, "cat.db.docs")
     sp.catalog.tableExists.assert_called_once_with("cat.db.docs")
+
+
+def test_warc_roundtrip_and_extraction_plumbing(spark, tmp_path):
+    """WARC source: write per-record-gzip and plain archives, read both
+    back through the Spark surface (url/ts/html/lang byte-exact), feed
+    the result straight into the extraction kernel, and check the
+    per-file ingest counters."""
+    from indu_doc_transformer_spark.operators import extraction as ex
+    from indu_doc_transformer_spark.sources import warc as w
+
+    recs = [
+        {"url": "http://a.example/1", "ts": "2017-03-22T17:00:00Z",
+         "html": b"<html><h1>T</h1>body one</html>", "lang": "en"},
+        {"url": "http://b.example/2", "ts": "2017-03-22T18:30:05Z",
+         "html": b"<html>two</html>"},
+    ]
+    w.write_warc(recs, str(tmp_path / "a.warc.gz"), per_record_gzip=True)
+    w.write_warc(recs, str(tmp_path / "b.warc"), per_record_gzip=False)
+    df = w.read_warc(spark, str(tmp_path) + "/*")
+    rows = df.collect()
+    assert len(rows) == 4
+    r0 = next(r for r in rows if r.url.endswith("/1") and r.warc_file.endswith("gz"))
+    assert bytes(r0.html) == recs[0]["html"]
+    assert r0.lang == "en"
+    assert str(r0.warc_ts) == "2017-03-22 17:00:00"
+    assert next(r for r in rows if r.url.endswith("/2")).lang is None
+    # plumbing: the WARC output shape feeds the extraction kernel as-is
+    assert ex.extract(df.select("url", "warc_ts", "html", "lang")).count() == 4
+    stats = {
+        r.warc_file: (r.n_records, r.n_response, r.n_bad)
+        for r in w.warc_file_stats(spark, str(tmp_path) + "/*").collect()
+    }
+    assert len(stats) == 2 and all(v == (2, 2, 0) for v in stats.values())
+
+
+def test_warc_parser_malformed_records():
+    """Malformed records (bad Content-Length, missing URI) are counted
+    as bad and parsing continues; non-response records are skipped; the
+    HTTP envelope is stripped down to the payload."""
+    from indu_doc_transformer_spark.sources.warc import parse_warc
+
+    def rec(headers: bytes, block: bytes) -> bytes:
+        return (b"WARC/1.0\r\n" + headers
+                + b"Content-Length: " + str(len(block)).encode()
+                + b"\r\n\r\n" + block + b"\r\n\r\n")
+
+    http_block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello body"
+    raw = (
+        rec(b"WARC-Type: warcinfo\r\n", b"info")
+        + b"WARC/1.0\r\nWARC-Type: response\r\n"
+          b"WARC-Target-URI: http://x/\r\n"
+          b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+          b"Content-Length: xx\r\n\r\n"
+        + rec(b"WARC-Type: response\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n",
+              b"no uri")
+        + rec(b"WARC-Type: response\r\nWARC-Target-URI: http://y/\r\n"
+              b"WARC-Date: 2020-01-01T00:00:00Z\r\n", http_block)
+    )
+    out = list(parse_warc(raw))
+    good = [r for r in out if not r.get("bad")]
+    assert len([r for r in out if r.get("bad")]) == 2
+    assert len(good) == 1 and good[0]["url"] == "http://y/"
+    assert good[0]["html"] == b"hello body"
