@@ -817,6 +817,40 @@ def test_canonical_url_cases(spark):
     assert out == {1: (2, 1), 2: (2, 0), 3: (1, 1)}
 
 
+def test_canonical_url_idempotent_and_clean(spark):
+    """Invariants over the full combination grid (1440 URLs, one job):
+    canonicalization is idempotent, never leaves a tracking param or
+    fragment, lowercases the authority, and strips exactly the default
+    ports."""
+    import itertools
+
+    urls = [
+        s + h + p + pa + q + f
+        for s, h, p, pa, q, f in itertools.product(
+            ["http://", "HTTP://", "https://"],
+            ["Ex.COM", "WWW.site.ORG"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/A/b", "/A/b/"],
+            ["", "?utm_source=1", "?a=1&utm_b=2&c=3", "?gclid=x", "?a=1"],
+            ["", "#f", "#x?y=1"],
+        )
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    out = df.select(
+        "i",
+        "url",
+        dd.canonical_url("url").alias("c1"),
+        dd.canonical_url(dd.canonical_url("url")).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, (r.url, r.c1, r.c2)
+        assert "#" not in r.c1 and "utm_" not in r.c1 and "gclid" not in r.c1, r.c1
+        auth = r.c1.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        assert auth == auth.lower() and not auth.endswith((":80", ":443")), r.c1
+        if ":8080" in r.url:
+            assert ":8080" in r.c1, r.c1  # non-default port preserved
+
+
 def test_line_dedup_first_occurrence_wins(spark):
     """Global line dedup keeps each line's first (doc, position)
     occurrence; later docs lose repeated lines; fully-absorbed docs
