@@ -10,6 +10,12 @@ synthetic corpus or an existing documents table.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# direct `python scripts/run_pipeline.py` runs (spark-submit --py-files
+# makes this a no-op)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -26,7 +32,14 @@ def main() -> None:
     from indu_doc_transformer_spark.sources.catalog import read_table
     from indu_doc_transformer_spark.sources.corpus import corpus_df
 
-    spark = get_spark(master=args.master, app_name="indu-doc-pipeline")
+    # binary-blob scans under-parallelize at the 128m default (an
+    # 800 MB corpus becomes ~7 splits); 12m keeps every core fed —
+    # the same load-bearing setting bench.py uses (BENCH/BASELINE.md)
+    spark = get_spark(
+        master=args.master,
+        app_name="indu-doc-pipeline",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "12m"},
+    )
     docs = (
         read_table(spark, args.input)
         if args.input
