@@ -1268,6 +1268,22 @@ def q_stratified_sample(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_training_mixture(spark, sf_dir):
+    """The training-mixture manifest (sampling.training_mixture):
+    deterministic per-source sampling at mixture weights (src0 25% /
+    src1 50% / rest 75%) composed with distributed-prefix-sum shard
+    packing at a 500-token budget — the final artifact a training
+    pipeline ships. Oracle: the same md5-bucket predicate + cumulative
+    window in DuckDB."""
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    return sp.training_mixture(
+        d, "doc_id", "text", "source", {"src0": 25, "src1": 50},
+        tokens_per_shard=500, default_pct=75,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_multisignal_keep_list(spark, sf_dir):
     """Multi-signal dedup: LEXICAL near-dup edges (MinHash-LSH pairs)
     unioned with SEMANTIC edges (embedding hyperplane-LSH pairs over
@@ -1442,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
         "q_asof_join_bucketed": q_asof_join_bucketed,  # skew-safe as-of ⊂ q_asof_join oracle
+        "q_training_mixture": q_training_mixture,  # sampling∘sharding composition (late addition)
         "q_stratified_sample": q_stratified_sample,  # deterministic sampling (late addition)
         "q_langid": q_langid,  # stopword machinery ⊂ q_quality
         "q_unigram_rarity": q_unigram_rarity,  # quality-family extension of q_quality
@@ -3019,6 +3036,31 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     d["q_asof_join_bucketed"] = d["q_asof_join"]  # identical semantics
+    d["q_training_mixture"] = """
+        WITH b AS (
+          SELECT doc_id, source, text,
+                 cast(list_sum(list_transform(generate_series(1, 4), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(cast(doc_id as varchar)), i, 1)) - 1)
+                   * (CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 1 END)))
+                   as bigint) AS bucket
+          FROM documents
+        ),
+        keep AS (
+          SELECT doc_id, source, text FROM b
+          WHERE bucket * 100 <
+                (CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50 ELSE 75 END) * 65536
+        ),
+        t AS (
+          SELECT doc_id, source,
+                 cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS n_tokens
+          FROM keep
+        )
+        SELECT doc_id, source, n_tokens,
+               cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 500.0) as bigint) AS shard_id
+        FROM t
+    """
     d["q_incremental_dedup"] = f"""
         WITH b AS (SELECT doc_id,
                           '  Boilerplate' || chr(9) || 'Page '

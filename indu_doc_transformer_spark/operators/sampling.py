@@ -73,6 +73,44 @@ def source_caps(
     )
 
 
+def training_mixture(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    rates_pct: dict,
+    tokens_per_shard: int,
+    default_pct: int = 100,
+) -> DataFrame:
+    """The pipeline's FINAL artifact: a training mixture manifest —
+    deterministic per-source Bernoulli sampling at the mixture weights
+    (stratified_sample: md5 buckets, identical survivors on every
+    engine/run/cluster size), then fixed-token-budget shard packing of
+    the survivors in id order (token_shards_scalable: the distributed
+    prefix sum — per-partition subtotals broadcast as offsets, docs
+    never split). Returns (id, source, n_tokens, shard_id).
+
+    Note: the shard pass materializes per-partition subtotals (a
+    bounded collect, one row per partition), so building this plan
+    runs jobs — it is an output-producing composition, not a lazy
+    operator."""
+    from .textstats import token_shards_scalable
+
+    s = stratified_sample(df, id_col, source_col, rates_pct, default_pct)
+    keep_ids = s.where(F.col("keep") == 1).select("id")
+    survivors = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.col(source_col).alias("source"),
+        ).join(keep_ids, "id")
+    )
+    shards = token_shards_scalable(survivors, "id", "_t", tokens_per_shard)
+    return shards.join(survivors.select("id", "source"), "id").select(
+        "id", "source", "n_tokens", "shard_id"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
