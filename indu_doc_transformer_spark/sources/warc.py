@@ -77,6 +77,11 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:
+            # missing/garbage/NEGATIVE length: a negative value would
+            # move the scan position BACKWARDS (infinite loop) — treat
+            # as malformed and resume at the next version line
             yield {"bad": True}
             pos = body_start
             continue

@@ -142,3 +142,46 @@ def test_aml_serializer_same_path_overwrite():
     root = ET.fromstring(f"<x>{xml}</x>")
     ids = {el.get("ID") for el in root.iter() if el.tag == "InternalElement"}
     assert len(ids) == 1
+
+
+# ---------------------------------------------------------------------------
+# totality fuzz (round 4): the ingestion surfaces must be TOTAL —
+# arbitrary bytes yield well-formed results or counted skips, never
+# exceptions (the E2/S3 rule that keeps tasks alive at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_extract_document_total_on_arbitrary_bytes(payload):
+    from indu_doc_transformer_spark.kernels.layout import extract_document
+
+    r = extract_document(payload)
+    assert set(r) >= {"page_type", "footer", "extracted_text", "spans",
+                      "rows", "errors"}
+    assert isinstance(r["extracted_text"], str)
+    assert all(isinstance(e, tuple) and len(e) == 2 for e in r["errors"])
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_parse_warc_total_and_terminating(payload):
+    """The WARC walker must terminate and never raise on garbage —
+    including records whose Content-Length is negative (which would
+    otherwise move the scan position backwards)."""
+    from indu_doc_transformer_spark.sources.warc import parse_warc
+
+    for rec in parse_warc(payload):
+        assert rec.get("bad") or (
+            isinstance(rec["url"], str) and isinstance(rec["html"], bytes)
+        )
+
+
+def test_parse_warc_negative_length_terminates():
+    from indu_doc_transformer_spark.sources.warc import parse_warc
+
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n"
+           b"Content-Length: -5\r\n\r\npayload\r\n\r\n")
+    out = list(parse_warc(raw))
+    assert out and out[0].get("bad")
