@@ -185,3 +185,17 @@ def test_parse_warc_negative_length_terminates():
            b"Content-Length: -5\r\n\r\npayload\r\n\r\n")
     out = list(parse_warc(raw))
     assert out and out[0].get("bad")
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_media_decoders_total(payload):
+    """extract_features catches only ValueError/NotImplementedError per
+    row; any other exception type escaping a decoder would kill the
+    task — arbitrary bytes (including BMP headers declaring huge
+    dimensions over truncated data) must stay inside that contract."""
+    for dec in (mm.decode_image, mm.decode_audio, mm.decode_video):
+        try:
+            dec(payload, fake=True)
+        except (ValueError, NotImplementedError):
+            pass
