@@ -4,8 +4,8 @@ engine's input shape (url, warc_ts, html, lang).
 The north-star input is an Iceberg table of Common-Crawl-style pages;
 this module covers the step BEFORE that table exists — the raw crawl
 archives. WARC/1.x 'response' records are parsed by a pure-Python
-record walker (unit-testable without Spark), and the Spark surface
-reads archive files through ``binaryFile`` + ``mapInPandas``.
+resumable record walker (unit-testable without Spark), and the Spark
+surface reads archive files through ``binaryFile`` + ``mapInPandas``.
 
 Scale design (the honest version): a ``.warc.gz`` is a concatenation
 of per-record gzip members, which is NOT seekable mid-file without the
@@ -13,171 +13,413 @@ companion index, so the parallel unit is the FILE — exactly how
 Common Crawl ships data (~1 GiB x tens of thousands of files per
 crawl, ample parallelism for any cluster). Per-record splitting would
 need a custom input format plus the .warc.gz record index; with files
-this shape it buys nothing. Malformed records become skips counted in
-``n_bad`` per file (surfaced via ``warc_file_stats``), never task
-failures (the E2 rule).
+this shape it buys nothing.
+
+Memory design: nothing in this module ever materializes a whole
+decompressed archive. Decompression is member-wise streamed through
+``zlib.decompressobj`` in bounded chunks, the record walker keeps only
+a compacted window of O(largest record), and the Spark kernels flush
+size-bounded output DataFrames instead of accumulating a batch's worth
+of pages. Peak task memory is therefore O(chunk + largest record
+[+ compressed file, only when the storage scheme forces Spark to hand
+us whole ``content``]) — never O(decompressed file). For local /
+``file:`` inputs even the compressed side is streamed from disk
+(``binaryFile`` prunes the unused ``content`` column). A
+Common-Crawl-shaped ~1 GiB archive (~4-5 GiB raw) thus costs a task
+~1 GiB worst case remote, ~16 MiB local — vs ~5-6 GiB before this
+design. ``max_concurrent_files`` additionally caps cluster-wide
+concurrent archive tasks for memory-tight executors.
+
+Malformed records become skips counted in ``n_bad`` per file
+(surfaced via ``warc_file_stats``), never task failures (the E2 rule).
+A mid-file decompression error salvages the records already parsed
+(the valid prefix) and marks the file unreadable in the stats
+(``n_bad = -1``).
 """
 
 from __future__ import annotations
 
 import gzip
 import io
-from typing import Iterator
+import zlib
+from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 WARC_SCHEMA = (
     "url string, warc_ts timestamp, html binary, lang string, "
     "warc_file string"
 )
 
+_CHUNK = 1 << 20  # 1 MiB decompressed-output / file-read granularity
+_FLUSH_BYTES = 64 << 20  # flush kernel output every ~64 MiB of html
 
-def _split_headers(block: bytes) -> tuple[dict, bytes]:
-    """(headers, rest-after-blank-line); header names lower-cased."""
-    head, sep, rest = block.partition(b"\r\n\r\n")
-    if not sep:  # tolerate bare-LF writers
-        head, sep, rest = block.partition(b"\n\n")
+
+def _parse_header_lines(head) -> dict:
+    """Colon-separated header lines -> dict; names lower-cased."""
     headers: dict = {}
     for line in head.split(b"\n"):
         line = line.strip(b"\r")
         if b":" in line:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1"
+            headers[bytes(k).strip().lower().decode("latin-1")] = (
+                bytes(v).strip().decode("latin-1")
             )
-    return headers, rest
+    return headers
 
 
-def parse_warc(data: bytes) -> Iterator[dict]:
+def _split_headers(block) -> tuple[dict, "bytes"]:
+    """(headers, rest-after-blank-line); header names lower-cased."""
+    head, sep, rest = block.partition(b"\r\n\r\n")
+    if not sep:  # tolerate bare-LF writers
+        head, sep, rest = block.partition(b"\n\n")
+    return _parse_header_lines(head), rest
+
+
+def _parse_one(data, pos: int, eof: bool):
+    """Resumable single-record step over a buffered window.
+
+    Returns ``(kind, record, new_pos)`` where kind is one of
+    ``"record"`` (a parsed response or a ``{'bad': True}`` marker),
+    ``"skip"`` (well-formed non-response record), ``"need"`` (not
+    enough buffered bytes — only when ``not eof``; ``new_pos`` is the
+    compaction point: everything before it can be discarded), or
+    ``"done"`` (no further record in this data).
+
+    This is the one implementation of WARC semantics: `parse_warc`
+    (whole-buffer) and `iter_warc_stream` (chunked) both drive it, so
+    streaming and in-memory parses are identical by construction.
+    """
+    n = len(data)
+    nxt = data.find(b"WARC/", pos)
+    if nxt < 0:
+        if eof:
+            return "done", None, n
+        # the 5-byte marker may straddle a chunk boundary: keep a tail
+        return "need", None, max(pos, n - 4)
+    pos = nxt
+    hdr_end = data.find(b"\r\n\r\n", pos)
+    lf_only = False
+    if hdr_end < 0 or (0 <= data.find(b"\n\n", pos) < hdr_end):
+        alt = data.find(b"\n\n", pos)
+        if alt >= 0 and (hdr_end < 0 or alt < hdr_end):
+            hdr_end, lf_only = alt, True
+    if hdr_end < 0:
+        if eof:
+            return "done", None, n
+        return "need", None, pos
+    headers, _ = _split_headers(data[pos : hdr_end + 2])
+    body_start = hdr_end + (2 if lf_only else 4)
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        length = -1
+    if length < 0:
+        # missing/garbage/NEGATIVE length: a negative value would
+        # move the scan position BACKWARDS (infinite loop) — treat
+        # as malformed and resume at the next version line
+        return "record", {"bad": True}, body_start
+    if body_start + length > n and not eof:
+        return "need", None, pos
+    body_end = min(body_start + length, n)
+    new_pos = body_start + length
+    if headers.get("warc-type") != "response":
+        return "skip", None, new_pos
+    url = headers.get("warc-target-uri")
+    ts = headers.get("warc-date")
+    if not url or not ts:
+        return "record", {"bad": True}, new_pos
+    # locate the HTTP envelope boundary IN PLACE (no whole-body slices:
+    # bounded-memory streaming copies the body exactly once, below)
+    env = data.find(b"\r\n\r\n", body_start, body_end)
+    if env >= 0:
+        head_slice, pay_start = data[body_start:env], env + 4
+    else:  # tolerate bare-LF writers
+        env = data.find(b"\n\n", body_start, body_end)
+        if env >= 0:
+            head_slice, pay_start = data[body_start:env], env + 2
+        else:
+            head_slice, pay_start = data[body_start:body_end], body_end
+    http_headers = _parse_header_lines(head_slice)
+    if not http_headers:  # no HTTP envelope: block IS the payload
+        pay_start = body_start
+    return (
+        "record",
+        {
+            "url": url,
+            "ts": ts,
+            "html": bytes(memoryview(data)[pay_start:body_end]),
+            "lang": http_headers.get("content-language"),
+        },
+        new_pos,
+    )
+
+
+def iter_warc_stream(
+    chunks: Iterable[bytes], emit_skips: bool = False
+) -> Iterator[dict]:
+    """Walk WARC records over an iterable of raw (decompressed) byte
+    chunks, holding only a compacted O(largest-record) window. Yields
+    the same dicts as `parse_warc`; with ``emit_skips`` also yields
+    ``{'skip': True}`` markers for well-formed non-response records
+    (warcinfo, request, ...) so callers can count TOTAL records."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+    pos = 0
+    while True:
+        kind, rec, pos = _parse_one(buf, pos, eof)
+        if kind == "record":
+            yield rec
+        elif kind == "skip":
+            if emit_skips:
+                yield {"skip": True}
+        elif kind == "done":
+            return
+        else:  # need more data: compact the consumed prefix, pull a chunk
+            if pos:
+                del buf[:pos]
+                pos = 0
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                eof = True
+
+
+def parse_warc(data: bytes, emit_skips: bool = False) -> Iterator[dict]:
     """Walk WARC records in raw (already-decompressed) bytes, yielding
     {'url', 'ts', 'html', 'lang'} for each well-formed *response*
     record. Content-Length is authoritative for the block; the HTTP
     envelope inside a response block is stripped down to the payload.
     Yields {'bad': True} markers for malformed records (the caller
-    counts them; parsing continues at the next version line)."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        nxt = data.find(b"WARC/", pos)
-        if nxt < 0:
-            break
-        pos = nxt
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        lf_only = False
-        if hdr_end < 0 or (0 <= data.find(b"\n\n", pos) < hdr_end):
-            alt = data.find(b"\n\n", pos)
-            if alt >= 0 and (hdr_end < 0 or alt < hdr_end):
-                hdr_end, lf_only = alt, True
-        if hdr_end < 0:
-            break
-        headers, _ = _split_headers(data[pos : hdr_end + 2])
-        body_start = hdr_end + (2 if lf_only else 4)
+    counts them; parsing continues at the next version line). Thin
+    whole-buffer wrapper over the resumable `_parse_one` core."""
+    return iter_warc_stream((data,), emit_skips=emit_skips)
+
+
+def _iter_gunzip_chunks(
+    compressed: Iterable[bytes], chunk_size: int = _CHUNK
+) -> Iterator[bytes]:
+    """Member-wise streaming gunzip (the .warc.gz layout: one gzip
+    member per record). Output is produced in <=chunk_size pieces via
+    ``zlib.decompressobj(max_length=...)`` — peak memory is
+    O(chunk_size), never O(file). Raises like the gzip module:
+    BadGzipFile on corrupt data / trailing garbage, EOFError on
+    truncation mid-member."""
+    d = zlib.decompressobj(31)  # the caller sniffed the first magic
+    buf = b""
+    it = iter(compressed)
+    eof_in = False
+    while True:
+        if d is None:
+            # between members: need >=2 buffered bytes to sniff the
+            # next magic (it may straddle an input chunk boundary)
+            if len(buf) < 2 and not eof_in:
+                try:
+                    buf += next(it)
+                except StopIteration:
+                    eof_in = True
+                continue
+            if not buf or not buf.strip(b"\x00"):  # zero padding is legal
+                return
+            if buf[:2] == b"\x1f\x8b":
+                d = zlib.decompressobj(31)
+                continue
+            raise gzip.BadGzipFile("trailing garbage after gzip member")
+        if not buf:
+            if eof_in:
+                tail = d.flush()
+                if tail:
+                    yield tail
+                raise EOFError("compressed WARC member truncated")
+            try:
+                buf += next(it)
+            except StopIteration:
+                eof_in = True
+            continue
         try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            length = -1
-        if length < 0:
-            # missing/garbage/NEGATIVE length: a negative value would
-            # move the scan position BACKWARDS (infinite loop) — treat
-            # as malformed and resume at the next version line
-            yield {"bad": True}
-            pos = body_start
-            continue
-        block = data[body_start : body_start + length]
-        pos = body_start + length
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        ts = headers.get("warc-date")
-        if not url or not ts:
-            yield {"bad": True}
-            continue
-        http_headers, payload = _split_headers(block)
-        if not http_headers:  # no HTTP envelope: block IS the payload
-            payload = block
-        yield {
-            "url": url,
-            "ts": ts,
-            "html": payload,
-            "lang": http_headers.get("content-language"),
-        }
+            out = d.decompress(buf, chunk_size)
+        except zlib.error as e:
+            raise gzip.BadGzipFile(str(e)) from e
+        if out:
+            yield out
+        if d.eof:
+            buf = d.unused_data
+            d = None
+        else:
+            buf = d.unconsumed_tail
 
 
-def _decompress(content: bytes) -> bytes:
-    """Transparent multi-member gzip (the .warc.gz layout: one member
-    per record; Python's gzip.decompress consumes all members)."""
-    if content[:2] == b"\x1f\x8b":
-        return gzip.decompress(content)
-    return content
+def _iter_raw_chunks(
+    compressed: Iterable[bytes], chunk_size: int = _CHUNK
+) -> Iterator[bytes]:
+    """Transparent decompression over an iterable of compressed (or
+    plain) byte pieces: sniffs the gzip magic on the first piece."""
+    it = iter(compressed)
+    try:
+        first = next(it)
+    except StopIteration:
+        return
+    while len(first) < 2:  # need 2 bytes to sniff the magic
+        try:
+            first += next(it)
+        except StopIteration:
+            break
+    def _chain():
+        yield first
+        yield from it
+    if first[:2] == b"\x1f\x8b":
+        yield from _iter_gunzip_chunks(_chain(), chunk_size)
+    else:
+        for piece in _chain():
+            yield piece
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
+    """Bounded-size reads of a local file; accepts 'file:' URIs as
+    produced by the binaryFile source."""
+    local = path
+    if local.startswith("file:"):
+        local = local[5:]
+        while local.startswith("//"):
+            local = local[1:]
+    with open(local, "rb") as f:
+        while True:
+            piece = f.read(chunk_size)
+            if not piece:
+                return
+            yield piece
+
+
+def _bytes_chunks(content: bytes, chunk_size: int = _CHUNK) -> Iterator[bytes]:
+    mv = memoryview(content)
+    for i in range(0, len(content), chunk_size):
+        yield bytes(mv[i : i + chunk_size])
+
+
+def _file_record_stream(path: str, content=None, emit_skips: bool = False):
+    """Record iterator for one archive: streamed from disk when the
+    compressed bytes weren't shipped (local mode), else streamed over
+    the in-memory compressed bytes. Either way the DECOMPRESSED side
+    is never materialized whole."""
+    raw = (
+        _iter_file_chunks(path)
+        if content is None
+        else _bytes_chunks(bytes(content))
+    )
+    return iter_warc_stream(_iter_raw_chunks(raw), emit_skips=emit_skips)
+
+
+def _is_local(path: str) -> bool:
+    scheme, sep, _ = path.partition(":")
+    return not sep or scheme in ("file", "local")
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_concurrent_files: int | None = None,
+) -> DataFrame:
     """WARC archive files -> (url, warc_ts, html, lang, warc_file):
-    one Arrow-batched parse pass per file, no driver-side I/O. The
-    binaryFile source prunes to (path, content); parallelism = files
-    (see module docstring)."""
+    one streamed parse pass per file, no driver-side I/O.
+
+    binaryFile supplies the file listing; for local/'file:' storage the
+    ``content`` column is pruned away and each task streams its archive
+    from disk in 1 MiB reads (peak memory O(record)); for remote
+    storage Spark ships the compressed bytes and only the gunzip side
+    streams (peak O(compressed + record)). Output rows are flushed in
+    ~64 MiB pandas frames, never accumulated per batch. A corrupt
+    archive salvages its valid prefix and never fails the task.
+    ``max_concurrent_files`` repartitions the file list to bound how
+    many archives decompress at once cluster-wide."""
+    local = _is_local(path)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, tss, htmls, langs, files = [], [], [], [], []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    data = _decompress(bytes(content))
-                except OSError:
-                    continue  # corrupt archive: whole-file skip, no task failure
-                for rec in parse_warc(data):
-                    if rec.get("bad"):
-                        continue
-                    urls.append(rec["url"])
-                    tss.append(rec["ts"])
-                    htmls.append(rec["html"])
-                    langs.append(rec["lang"])
-                    files.append(p)
+        urls, tss, htmls, langs, files = [], [], [], [], []
+        pending = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal pending
             out = pd.DataFrame(
                 {
                     "url": urls,
                     "warc_ts": pd.to_datetime(
                         pd.Series(tss, dtype="object"), utc=True, errors="coerce"
                     ).dt.tz_localize(None),
-                    "html": htmls,
+                    "html": list(htmls),
                     "lang": langs,
                     "warc_file": files,
                 }
             )
-            yield out
+            urls.clear(); tss.clear(); htmls.clear(); langs.clear(); files.clear()
+            pending = 0
+            return out
 
-    src = spark.read.format("binaryFile").load(path).select("path", "content")
+        for pdf in batches:
+            contents = pdf["content"] if "content" in pdf.columns else None
+            for i, p in enumerate(pdf["path"]):
+                content = None if contents is None else contents.iloc[i]
+                try:
+                    for rec in _file_record_stream(p, content):
+                        if rec.get("bad"):
+                            continue
+                        urls.append(rec["url"])
+                        tss.append(rec["ts"])
+                        htmls.append(rec["html"])
+                        langs.append(rec["lang"])
+                        files.append(p)
+                        pending += len(rec["html"])
+                        if pending >= _FLUSH_BYTES:
+                            yield flush()
+                except (OSError, EOFError, zlib.error):
+                    # corrupt archive mid-stream: keep the valid prefix,
+                    # never fail the task (warc_file_stats flags the file)
+                    continue
+        if urls:
+            yield flush()
+
+    src = spark.read.format("binaryFile").load(path)
+    src = src.select("path") if local else src.select("path", "content")
+    if max_concurrent_files:
+        src = src.repartition(max_concurrent_files)
     return src.mapInPandas(kernel, schema=WARC_SCHEMA)
 
 
 def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-archive ingest counters (the E3 pattern for the crawl
-    source): (warc_file, n_records, n_response, n_bad)."""
+    source): (warc_file, n_records, n_response, n_bad). n_records
+    counts EVERY record the walker saw — responses, malformed markers,
+    and well-formed non-response records (warcinfo/request/...).
+    n_bad = -1 flags an unreadable/truncated archive (counters then
+    cover the salvaged prefix)."""
+    local = _is_local(path)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for p, content in zip(pdf["path"], pdf["content"]):
+            contents = pdf["content"] if "content" in pdf.columns else None
+            for i, p in enumerate(pdf["path"]):
+                content = None if contents is None else contents.iloc[i]
                 n_rec = n_resp = n_bad = 0
                 try:
-                    data = _decompress(bytes(content))
-                except OSError:
-                    rows.append((p, 0, 0, -1))  # -1 = unreadable archive
-                    continue
-                for rec in parse_warc(data):
-                    n_rec += 1
-                    if rec.get("bad"):
-                        n_bad += 1
-                    else:
-                        n_resp += 1
-                rows.append((p, n_rec, n_resp, n_bad))
+                    for rec in _file_record_stream(p, content, emit_skips=True):
+                        n_rec += 1
+                        if rec.get("skip"):
+                            pass
+                        elif rec.get("bad"):
+                            n_bad += 1
+                        else:
+                            n_resp += 1
+                    rows.append((p, n_rec, n_resp, n_bad))
+                except (OSError, EOFError, zlib.error):
+                    rows.append((p, n_rec, n_resp, -1))  # unreadable archive
             yield pd.DataFrame(
                 rows, columns=["warc_file", "n_records", "n_response", "n_bad"]
             )
 
-    src = spark.read.format("binaryFile").load(path).select("path", "content")
+    src = spark.read.format("binaryFile").load(path)
+    src = src.select("path") if local else src.select("path", "content")
     return src.mapInPandas(
         kernel,
         schema="warc_file string, n_records long, n_response long, n_bad long",

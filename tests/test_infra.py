@@ -170,3 +170,99 @@ def test_warc_parser_malformed_records():
     assert len([r for r in out if r.get("bad")]) == 2
     assert len(good) == 1 and good[0]["url"] == "http://y/"
     assert good[0]["html"] == b"hello body"
+
+
+def test_warc_stream_parity_and_salvage(spark, tmp_path):
+    """The chunked streaming walk must produce EXACTLY what the
+    whole-buffer parse produces (one resumable core drives both), even
+    with pathological 7-byte chunks straddling every boundary; a
+    corrupt tail salvages the valid prefix and flags the file."""
+    import gzip
+
+    from indu_doc_transformer_spark.sources import warc as w
+
+    def rec(headers: bytes, block: bytes) -> bytes:
+        return (b"WARC/1.0\r\n" + headers
+                + b"Content-Length: " + str(len(block)).encode()
+                + b"\r\n\r\n" + block + b"\r\n\r\n")
+
+    raw = (
+        rec(b"WARC-Type: warcinfo\r\n", b"info payload")
+        + rec(b"WARC-Type: request\r\nWARC-Target-URI: http://x/\r\n", b"GET /")
+        + rec(b"WARC-Type: response\r\nWARC-Target-URI: http://x/\r\n"
+              b"WARC-Date: 2020-01-01T00:00:00Z\r\n",
+              b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>")
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: zz\r\n\r\n"
+        + rec(b"WARC-Type: response\r\nWARC-Target-URI: http://y/\r\n"
+              b"WARC-Date: 2020-01-02T00:00:00Z\r\n",
+              b"HTTP/1.1 200 OK\r\n\r\n<html>y</html>")
+    )
+    whole = list(w.parse_warc(raw, emit_skips=True))
+    tiny = [raw[i:i + 7] for i in range(0, len(raw), 7)]
+    assert list(w.iter_warc_stream(tiny, emit_skips=True)) == whole
+    # member-wise gzip -> streamed gunzip -> same records
+    members = b"".join(gzip.compress(raw[i:i + 64]) for i in range(0, len(raw), 64))
+    assert list(w.iter_warc_stream(
+        w._iter_raw_chunks([members[i:i + 11] for i in range(0, len(members), 11)]),
+        emit_skips=True)) == whole
+    assert [r for r in whole if r.get("skip")] and [r for r in whole if r.get("bad")]
+
+    # corrupt tail: valid member + garbage. read_warc keeps the prefix,
+    # stats marks the file unreadable (-1) with salvaged counters.
+    good = gzip.compress(rec(
+        b"WARC-Type: response\r\nWARC-Target-URI: http://ok/\r\n"
+        b"WARC-Date: 2020-01-03T00:00:00Z\r\n",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nsalvaged"))
+    (tmp_path / "bad.warc.gz").write_bytes(good + b"\x1f\x8bGARBAGE-NOT-GZIP")
+    rows = w.read_warc(spark, str(tmp_path / "bad.warc.gz")).collect()
+    assert [r.url for r in rows] == ["http://ok/"]
+    assert bytes(rows[0].html) == b"salvaged"
+    st = w.warc_file_stats(spark, str(tmp_path / "bad.warc.gz")).collect()[0]
+    assert (st.n_records, st.n_response, st.n_bad) == (1, 1, -1)
+
+
+def test_warc_streaming_bounded_memory(tmp_path):
+    """Ingest a ~300 MiB (raw) multi-member .warc.gz and assert peak
+    RSS growth < 2x the largest record — the O(record) streaming
+    guarantee (the r4 scale-killer). Runs in a fresh subprocess so
+    earlier tests' RSS high-water marks can't mask a regression."""
+    import subprocess
+    import sys
+
+    script = r"""
+import gzip, os, resource, sys
+sys.path.insert(0, %(repo)r)
+path = %(path)r
+big = 24 << 20           # one 24 MiB record (the largest)
+small = 64 << 10         # ~280 MiB of 64 KiB records
+n_small = (280 << 20) // small
+with open(path, "wb") as f:
+    def member(url, body):
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n")
+        f.write(gzip.compress(head + body + b"\r\n\r\n", compresslevel=1))
+    payload = b"HTTP/1.1 200 OK\r\n\r\n"
+    member(b"http://big/", payload + b"B" * (big - len(payload)))
+    chunk = payload + b"ab cd " * ((small - len(payload)) // 6)
+    for i in range(n_small):
+        member(b"http://s/%%d" %% i, chunk)
+from indu_doc_transformer_spark.sources.warc import _file_record_stream
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+n = total = 0
+for rec in _file_record_stream(path):
+    if not rec.get("bad"):
+        n += 1
+        total += len(rec["html"])
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+delta_b = (peak - base) * 1024  # linux ru_maxrss is KiB
+assert n == 1 + n_small, n
+assert total > 280 << 20, total
+assert delta_b < 2 * big, (delta_b, 2 * big)
+print("OK", n, total, delta_b)
+""" % {"repo": "/root/repo", "path": str(tmp_path / "big.warc.gz")}
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.startswith("OK")

@@ -199,3 +199,17 @@ def test_media_decoders_total(payload):
             dec(payload, fake=True)
         except (ValueError, NotImplementedError):
             pass
+
+
+@given(st.binary(max_size=4096), st.integers(min_value=1, max_value=97))
+@settings(max_examples=200, deadline=None)
+def test_warc_stream_chunking_invariant(payload, chunk):
+    """Chunked streaming over ANY chunk size must equal the
+    whole-buffer parse — the resumable core's compaction/boundary
+    logic can't change what a record means."""
+    from indu_doc_transformer_spark.sources.warc import (iter_warc_stream,
+                                                         parse_warc)
+
+    whole = list(parse_warc(payload, emit_skips=True))
+    pieces = [payload[i:i + chunk] for i in range(0, len(payload), chunk)]
+    assert list(iter_warc_stream(pieces, emit_skips=True)) == whole
