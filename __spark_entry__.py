@@ -1114,12 +1114,17 @@ def q_url_dedup(spark, sf_dir):
     smallest id. doc_id%300 paths force real duplicate groups."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
-        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW.")).otherwise(
-            F.lit("http://www.")
-        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://www."))
+        .otherwise(F.lit("http://www.")),
         F.col("source"),
         F.lit(".Example.COM"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        # %4==0 puts :80 on BOTH schemes: stripped on http (default
+        # port), KEPT on https (distinct origin — the scheme-
+        # conditional rule carries real signal here)
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 12 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
         F.lit("/p/"),
         (F.col("doc_id") % 300).cast("string"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
@@ -3078,9 +3083,12 @@ def oracle_sql() -> dict[str, str]:
     d["q_url_dedup"] = """
         WITH u AS (
           SELECT doc_id,
-                 (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'http://www.' END)
+                 (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.'
+                       WHEN doc_id % 3 = 1 THEN 'https://www.'
+                       ELSE 'http://www.' END)
                  || source || '.Example.COM'
-                 || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                          WHEN doc_id % 12 = 1 THEN ':443' ELSE '' END)
                  || '/p/' || cast(doc_id % 300 as varchar)
                  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
                  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=1'
@@ -3098,7 +3106,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         c2 AS (
           SELECT doc_id,
-                 regexp_replace(lower(sh_raw), ':(80|443)$', '') AS sh,
+                 CASE WHEN lower(sh_raw) LIKE 'http://%'
+                        THEN regexp_replace(lower(sh_raw), ':80$', '')
+                      WHEN lower(sh_raw) LIKE 'https://%'
+                        THEN regexp_replace(lower(sh_raw), ':443$', '')
+                      ELSE lower(sh_raw) END AS sh,
                  substr(no_frag, length(sh_raw) + 1) AS rest
           FROM c
         ),
@@ -3228,9 +3240,13 @@ def oracle_sql() -> dict[str, str]:
     # golden-pinned value checks (the committed goldens are captured
     # from the pinned decoders/serializers by scripts/
     # capture_aux_goldens.py — same philosophy as q_extract_goldens)
+    # explicit column types (same rule as the AML golden below): auto
+    # inference would re-render any UUID/date-shaped value
     d["x_multimodal_features"] = """
         SELECT media_id, kind, f0, decode_ok
-        FROM read_json_auto('/root/repo/tests/goldens/multimodal_features.json')
+        FROM read_json('/root/repo/tests/goldens/multimodal_features.json',
+                       columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
+                                'f0': 'DOUBLE', 'decode_ok': 'BOOLEAN'})
     """
     # explicit column types: auto-inference parses the 32-hex md5 as a
     # UUID and re-renders it with dashes

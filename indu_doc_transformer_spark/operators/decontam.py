@@ -65,8 +65,10 @@ def ngram_contamination(
         est = int(
             bench._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-    except Exception:  # estimate unavailable: assume bench-shaped input
-        est = 0
+    except Exception:  # estimate unavailable: fail CLOSED to the
+        # shuffle join — force-broadcasting an unsized plan is the
+        # exact hazard this gate exists to prevent
+        est = broadcast_max_bench_bytes + 1
     hint = broadcast if est <= broadcast_max_bench_bytes else (lambda d: d)
     # ONE pass over the training side: the gram construction (an
     # interpreted higher-order md5 fold, the dominant per-row cost) is

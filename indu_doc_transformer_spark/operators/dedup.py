@@ -774,13 +774,20 @@ def incremental_exact_dedup(
 
 def canonical_url(c: Column) -> Column:
     """URL canonicalization (the standard Common-Crawl dedup key):
-    drop the fragment, lowercase scheme+authority, strip default ports
-    (:80/:443), drop tracking query params (utm_*, gclid, fbclid),
-    drop a trailing slash. Pure engine-portable expressions — the
-    DuckDB oracle applies the same regexes (q_url_dedup)."""
+    drop the fragment, lowercase scheme+authority, strip the scheme's
+    OWN default port (:80 for http, :443 for https — an explicit
+    non-default port like https://host:80 is a distinct origin and is
+    kept), drop tracking query params (utm_*, gclid, fbclid), drop a
+    trailing slash. Pure engine-portable expressions — the DuckDB
+    oracle applies the same regexes (q_url_dedup)."""
     no_frag = F.regexp_replace(c, r"#.*$", "")
     sh_raw = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*", 0)
-    sh = F.regexp_replace(F.lower(sh_raw), r":(80|443)$", "")
+    low = F.lower(sh_raw)
+    sh = (
+        F.when(low.startswith("http://"), F.regexp_replace(low, r":80$", ""))
+        .when(low.startswith("https://"), F.regexp_replace(low, r":443$", ""))
+        .otherwise(low)
+    )
     rest = F.substr(no_frag, F.length(sh_raw) + 1)
     path = F.regexp_replace(
         F.regexp_extract(rest, r"^[^?]*", 0), r"/$", ""

@@ -803,6 +803,10 @@ def test_canonical_url_cases(spark):
         ("http://ex.com/a?gclid=z&keep=2&fbclid=y", "http://ex.com/a?keep=2"),
         ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
         ("http://ex.com/A/B?x=1", "http://ex.com/A/B?x=1"),
+        # a default-LOOKING port on the OTHER scheme is a distinct
+        # origin and must be kept (scheme-conditional strip rule)
+        ("https://ex.com:80/a", "https://ex.com:80/a"),
+        ("http://ex.com:443/a", "http://ex.com:443/a"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
@@ -820,8 +824,8 @@ def test_canonical_url_cases(spark):
 def test_canonical_url_idempotent_and_clean(spark):
     """Invariants over the full combination grid (1440 URLs, one job):
     canonicalization is idempotent, never leaves a tracking param or
-    fragment, lowercases the authority, and strips exactly the default
-    ports."""
+    fragment, lowercases the authority, and strips exactly the
+    scheme's own default port (:80 for http, :443 for https)."""
     import itertools
 
     urls = [
@@ -845,8 +849,18 @@ def test_canonical_url_idempotent_and_clean(spark):
     for r in out:
         assert r.c1 == r.c2, (r.url, r.c1, r.c2)
         assert "#" not in r.c1 and "utm_" not in r.c1 and "gclid" not in r.c1, r.c1
-        auth = r.c1.split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
-        assert auth == auth.lower() and not auth.endswith((":80", ":443")), r.c1
+        scheme, _, rest = r.c1.partition("://")
+        auth = rest.split("/", 1)[0].split("?", 1)[0]
+        assert auth == auth.lower(), r.c1
+        # only the scheme's OWN default port is stripped; the other
+        # scheme's default is a real non-default port and survives
+        default = ":80" if scheme == "http" else ":443"
+        other = ":443" if scheme == "http" else ":80"
+        assert not auth.endswith(default), r.c1
+        raw_auth = (r.url.split("://", 1)[1].split("/", 1)[0]
+                    .split("?", 1)[0].split("#", 1)[0])
+        if raw_auth.endswith(other):
+            assert auth.endswith(other), (r.url, r.c1)
         if ":8080" in r.url:
             assert ":8080" in r.c1, r.c1  # non-default port preserved
 
