@@ -36,52 +36,76 @@ EXTRACTION_SCHEMA = (
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # import inside the worker: keeps the closure tiny for pickling
-    from pyspark import TaskContext
+def make_extract_batches(page_setups_json: str | None = None):
+    """Kernel factory: ``page_setups_json`` (config.page_setups_to_json
+    form, the CLI's -e/--extraction-settings payload) overrides the
+    built-in PAGE_SETUPS; the closure ships the JSON string and each
+    worker parses it once. None keeps the built-ins with zero parse
+    cost."""
 
-    from ..kernels.layout import extract_document
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker: keeps the closure tiny for pickling
+        from pyspark import TaskContext
 
-    tc = TaskContext.get()
-    pid = tc.partitionId() if tc else -1
+        from ..kernels.layout import extract_document
 
-    for pdf in batches:
-        n = len(pdf)
-        out = {
-            "url": pdf["url"],
-            "warc_ts": pdf["warc_ts"],
-            "lang": pdf["lang"],
-            "page_no": [1] * n,
-            "page_type": [],
-            "footer": [],
-            "extracted_text": [],
-            "spans": [],
-            "rows": [],
-            "errors": [],
-            "partition_id": [pid] * n,
-            "kernel_docs": [n] * n,
-        }
-        if "bucket" in pdf.columns:  # checkpointed pipeline passthrough
-            out["bucket"] = pdf["bucket"]
-        for html in pdf["html"]:
-            r = extract_document(html)
-            out["page_type"].append(r["page_type"])
-            out["footer"].append(r["footer"])
-            out["extracted_text"].append(r["extracted_text"])
-            out["spans"].append(
-                [
-                    (s["region"], s["kind"], s["row_idx"], s["loc"], s["text"])
-                    for s in r["spans"]
-                ]
-            )
-            out["rows"].append(
-                [
-                    (row["row_idx"], row["cols"], row["loc"], row["loc_repr"])
-                    for row in r["rows"]
-                ]
-            )
-            out["errors"].append([(sev, msg) for sev, msg in r["errors"]])
-        yield pd.DataFrame(out)
+        if page_setups_json is None:
+            kernel = extract_document
+        else:
+            from ..config import page_setups_from_json
+
+            setups = page_setups_from_json(page_setups_json)
+
+            def kernel(html):
+                return extract_document(html, setups)
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else -1
+
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "page_no": [1] * n,
+                "page_type": [],
+                "footer": [],
+                "extracted_text": [],
+                "spans": [],
+                "rows": [],
+                "errors": [],
+                "partition_id": [pid] * n,
+                "kernel_docs": [n] * n,
+            }
+            if "bucket" in pdf.columns:  # checkpointed pipeline passthrough
+                out["bucket"] = pdf["bucket"]
+            for html in pdf["html"]:
+                r = kernel(html)
+                out["page_type"].append(r["page_type"])
+                out["footer"].append(r["footer"])
+                out["extracted_text"].append(r["extracted_text"])
+                out["spans"].append(
+                    [
+                        (s["region"], s["kind"], s["row_idx"], s["loc"], s["text"])
+                        for s in r["spans"]
+                    ]
+                )
+                out["rows"].append(
+                    [
+                        (row["row_idx"], row["cols"], row["loc"], row["loc_repr"])
+                        for row in r["rows"]
+                    ]
+                )
+                out["errors"].append([(sev, msg) for sev, msg in r["errors"]])
+            yield pd.DataFrame(out)
+
+    return _extract_batches
+
+
+# the default-config kernel instance (pipeline / bench / tests import
+# this name directly)
+_extract_batches = make_extract_batches()
 
 
 def salt_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
@@ -97,13 +121,23 @@ def salt_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions, F.col("url"))
 
 
-def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """documents (url, warc_ts, html, lang, ...) -> extraction output."""
+def extract(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    page_setups_json: str | None = None,
+) -> DataFrame:
+    """documents (url, warc_ts, html, lang, ...) -> extraction output.
+    ``page_setups_json`` overrides the built-in page setups (CLI -e)."""
     cols = ["url", "warc_ts", "html", "lang"]
     pruned = docs.select(*cols)
     if num_partitions:
         pruned = salt_by_url(pruned, num_partitions)
-    return pruned.mapInPandas(_extract_batches, schema=EXTRACTION_SCHEMA)
+    kernel = (
+        _extract_batches
+        if page_setups_json is None
+        else make_extract_batches(page_setups_json)
+    )
+    return pruned.mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
 
 
 # ------------------------------------------------------------------

@@ -20,7 +20,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import DEFAULT_ASPECTS, PAGE_SETUPS, AspectsConfig, page_setups_to_json
+from .config import (
+    DEFAULT_ASPECTS,
+    PAGE_SETUPS,
+    AspectsConfig,
+    page_setups_from_json,
+    page_setups_to_json,
+)
 from .operators import assembly as asm_op
 from .operators import extraction as ex
 from .plans.checkpoint import run_checkpointed
@@ -45,9 +51,16 @@ def run_extraction(
     out_dir: str,
     num_buckets: int = 32,
     chunk_size: int = 8,
+    control=None,
+    on_chunk=None,
+    page_setups_json: str | None = None,
 ) -> dict:
     """Stage 1 with checkpoint/resume. Extraction output keeps the
-    bucket column for partition pruning downstream."""
+    bucket column for partition pruning downstream. ``control`` is a
+    plans.checkpoint.ProcessingControl for cooperative stop (a stopped
+    run resumes from the bucket registry); ``on_chunk`` is a progress
+    callback (idx, n_chunks, buckets); ``page_setups_json`` overrides
+    the built-in page setups (CLI -e/--extraction-settings)."""
 
     from pyspark.sql import Observation
 
@@ -58,8 +71,13 @@ def run_extraction(
         # salt/repartition on the bucket key itself: co-locates the
         # kernel work with the downstream partitioned write
         pruned = pruned.repartition(max(8, chunk_size), F.col("bucket"), F.col("url"))
+        kernel = (
+            ex._extract_batches
+            if page_setups_json is None
+            else ex.make_extract_batches(page_setups_json)
+        )
         extracted = pruned.mapInPandas(
-            ex._extract_batches, schema=ex.EXTRACTION_SCHEMA + ", bucket int"
+            kernel, schema=ex.EXTRACTION_SCHEMA + ", bucket int"
         )
         # E3 job-level progress/counters: observed metrics ride the
         # write action, no extra pass (plugin.py:176-187 analog)
@@ -74,8 +92,13 @@ def run_extraction(
             ).alias("faults"),
         )
 
-    stats = run_checkpointed(docs, out_dir, process, num_buckets, chunk_size)
-    stats["observed"] = [o.get for o in observations]
+    stats = run_checkpointed(
+        docs, out_dir, process, num_buckets, chunk_size,
+        control=control, on_chunk=on_chunk,
+    )
+    # an interrupted chunk's observation never resolves — only read
+    # observations for chunks that ran to completion
+    stats["observed"] = [o.get for o in observations[: stats["processed_chunks"]]]
     return stats
 
 
@@ -111,7 +134,10 @@ def run_metadata(
 
 
 def run_assembly(
-    spark: SparkSession, out_dir: str, config: AspectsConfig = DEFAULT_ASPECTS
+    spark: SparkSession,
+    out_dir: str,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    page_setups: dict = PAGE_SETUPS,
 ) -> dict[str, DataFrame]:
     """Stage 2: entity tables from the persisted extraction output."""
     extracted = read_table(spark, os.path.join(out_dir, "extracted"))
@@ -131,11 +157,34 @@ def run_assembly(
     )
     write_table(ex.spans_table(extracted), os.path.join(out_dir, "spans"))
     # run-metadata: the config contract that produced this output
-    write_table(run_metadata(spark, config), os.path.join(out_dir, "metadata"))
+    write_table(
+        run_metadata(spark, config, page_setups), os.path.join(out_dir, "metadata")
+    )
     return tables
 
 
-def run_full(docs: DataFrame, out_dir: str, num_buckets: int = 32) -> dict:
-    stats = run_extraction(docs, out_dir, num_buckets)
-    run_assembly(docs.sparkSession, out_dir)
+def run_full(
+    docs: DataFrame,
+    out_dir: str,
+    num_buckets: int = 32,
+    config: AspectsConfig = DEFAULT_ASPECTS,
+    control=None,
+    on_chunk=None,
+    page_setups_json: str | None = None,
+    chunk_size: int = 8,
+) -> dict:
+    """Both stages. A stop request during extraction skips assembly
+    (the registry keeps the completed buckets; rerun to finish)."""
+    stats = run_extraction(
+        docs, out_dir, num_buckets, chunk_size,
+        control=control, on_chunk=on_chunk, page_setups_json=page_setups_json,
+    )
+    if stats.get("stopped"):
+        return stats
+    setups = (
+        PAGE_SETUPS
+        if page_setups_json is None
+        else page_setups_from_json(page_setups_json)
+    )
+    run_assembly(docs.sparkSession, out_dir, config, setups)
     return stats

@@ -114,3 +114,163 @@ def test_kill_and_resume_is_idempotent(spark, tmp_path):
     assert len(a) == N  # zero lost
     cnt = spark.read.parquet(os.path.join(out_a, "extracted")).count()
     assert cnt == N  # zero duplicated
+
+
+def test_stop_between_chunks_and_resume(spark, tmp_path):
+    """Cooperative stop (ProcessingControl — reference
+    plugin.py:131-142 stop_processing recast): a stop requested while
+    chunk 1 runs is honored at the next chunk boundary; the interrupted
+    run's registry keeps completed buckets, and rerunning the same
+    pipeline resumes and produces output identical to an uninterrupted
+    run."""
+    from indu_doc_transformer_spark.plans.checkpoint import ProcessingControl
+
+    docs = corpus_df(spark, N, partitions=4)
+    a = str(tmp_path / "a")
+    pipeline.run_full(docs, a, num_buckets=8)
+
+    b = str(tmp_path / "b")
+    control = ProcessingControl(spark, group="test-stop")
+
+    def on_chunk(idx, n_chunks, buckets):
+        if idx == 1:  # deterministic: flag flips while chunk 1 runs
+            control.stop()
+
+    stats = pipeline.run_full(
+        docs, b, num_buckets=8, chunk_size=2, control=control, on_chunk=on_chunk
+    )
+    assert stats["stopped"] and control.state == "stopped"
+    assert 0 < stats["processed_chunks"] < 4
+    done = BucketRegistry(spark, os.path.join(b, "_registry")).completed()
+    assert 0 < len(done) < 8
+    # assembly must NOT have run on the partial extraction
+    assert not os.path.exists(os.path.join(b, "xtargets"))
+
+    resumed = pipeline.run_full(docs, b, num_buckets=8, chunk_size=2)
+    assert not resumed["stopped"] and resumed["skipped_buckets"] == len(done)
+
+    key = lambda out: sorted(
+        (r.url, r.extracted_text)
+        for r in spark.read.parquet(os.path.join(out, "extracted"))
+        .select("url", "extracted_text").collect()
+    )
+    assert key(a) == key(b)
+    cnt = lambda out, t: spark.read.parquet(os.path.join(out, t)).count()
+    for t in ("xtargets", "connections", "lineage"):
+        assert cnt(a, t) == cnt(b, t)
+
+
+def test_cancel_mid_chunk_resumes_idempotently(spark, tmp_path):
+    """stop() DURING a chunk's job cancels the job group (interrupt),
+    the chunk is not registered, and a rerun rewrites its half-written
+    partitions idempotently (dynamic partition overwrite) — final
+    output equals a never-interrupted run."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from indu_doc_transformer_spark.plans.checkpoint import (
+        ProcessingControl,
+        run_checkpointed,
+    )
+
+    docs = corpus_df(spark, 48, partitions=4).select("url")
+
+    def make_process(sleep_s):
+        def process(chunk):
+            def kern(batches):
+                import hashlib
+                import time as _t
+
+                for pdf in batches:
+                    _t.sleep(sleep_s)
+                    pdf = pdf.copy()
+                    pdf["digest"] = [
+                        hashlib.md5(u.encode()).hexdigest() for u in pdf["url"]
+                    ]
+                    yield pdf[["url", "digest", "bucket"]]
+
+            return chunk.mapInPandas(
+                kern, schema="url string, digest string, bucket int"
+            )
+
+        return process
+
+    a = str(tmp_path / "a")
+    run_checkpointed(docs, a, make_process(0.0), num_buckets=4, chunk_size=1)
+
+    b = str(tmp_path / "b")
+    control = ProcessingControl(spark, group="test-cancel")
+    fired = []
+
+    def on_chunk(idx, n_chunks, buckets):
+        if idx == 1 and not fired:
+            fired.append(1)
+            t = threading.Timer(0.7, control.stop)  # lands mid-job: the
+            t.start()  # slow kernel holds chunk 1's job >= 1.5s
+
+    stats = run_checkpointed(
+        docs, b, make_process(1.5), num_buckets=4, chunk_size=1,
+        control=control, on_chunk=on_chunk,
+    )
+    assert stats["stopped"]
+    done = BucketRegistry(spark, os.path.join(b, "_registry")).completed()
+    assert len(done) < 4, "cancelled chunk must not be registered"
+
+    resumed = run_checkpointed(
+        docs, b, make_process(0.0), num_buckets=4, chunk_size=1
+    )
+    assert not resumed["stopped"]
+    key = lambda out: sorted(
+        (r.url, r.digest)
+        for r in spark.read.parquet(os.path.join(out, "extracted")).collect()
+    )
+    assert key(a) == key(b)
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """CLI parity (reference cli.py:135-217 / tests/test_cli.py
+    spirit): synth corpus in, entity tables + stats block + JSON export
+    out; -c and -e accept the reference-shaped config files and drive
+    the run."""
+    import glob
+    import json
+
+    from indu_doc_transformer_spark.__main__ import main
+    from indu_doc_transformer_spark.config import (
+        PAGE_SETUPS,
+        AspectsConfig,
+        page_setups_to_json,
+    )
+
+    # reference-shaped aspects config (config.json:1-16 layout)
+    cfg = tmp_path / "aspects.json"
+    cfg.write_text(json.dumps({"aspects": [
+        {"Separator": "=", "Aspect": "Function"},
+        {"Separator": "+", "Aspect": "Location"},
+        {"Separator": "-", "Aspect": "Product"},
+    ]}))
+    setups = tmp_path / "setups.json"
+    setups.write_text(page_setups_to_json(PAGE_SETUPS))
+
+    out, exp = str(tmp_path / "out"), str(tmp_path / "exp")
+    rc = main([
+        "synth:60", "-o", out, "-c", str(cfg), "-e", str(setups),
+        "--export", exp, "--no-progress", "--buckets", "4",
+    ], spark=spark)
+    captured = capsys.readouterr().out
+    assert rc == 0, captured
+    assert "Processing Statistics:" in captured
+    assert "Xtargets:" in captured
+    assert "Processing completed successfully!" in captured
+    assert "Data exported to:" in captured
+    # the -c config is recorded in run metadata (it drove assembly)
+    meta = spark.read.parquet(os.path.join(out, "metadata")).collect()[0]
+    assert AspectsConfig.from_json_str(meta.aspects_config) == \
+        AspectsConfig.from_json_str(cfg.read_text())
+    # exported entity JSON is real spark json output
+    assert glob.glob(exp + "/xtargets/part-*")
+    # bad input -> error path, exit 1
+    assert main(["/nonexistent/nowhere.parquet", "-o", str(tmp_path / "o2"),
+                 "--no-progress"], spark=spark) == 1
