@@ -1365,6 +1365,33 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@k gate for the IVF path — the q_neardup_recall pattern
+    applied to ann_ivf_topk (similarity.py:203): exact brute-force
+    cosine top-5 per probe vs the nprobe=2/8-cell IVF top-5, one row
+    (n_probes, n_exact, n_found, recall). A quantizer regression (cell
+    assignment order, probe-cell list, the nearest-cell tie-break)
+    moves recall and fails the value hash loudly — the same regression
+    alarm the LSH path has had since r3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 9, 17]
+    exact = sim.ann_bruteforce_topk(emb, "vec_id", "embedding", probes, k=5)
+    ivf = sim.ann_ivf_topk(
+        emb, "vec_id", "embedding", probes, k=5, num_cells=8, nprobe=2
+    )
+    hit = ivf.select("probe_id", "vec_id", F.lit(1).alias("hit"))
+    j = exact.select("probe_id", "vec_id").join(
+        hit, ["probe_id", "vec_id"], "left"
+    )
+    found = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.agg(
+        F.countDistinct("probe_id").cast("long").alias("n_probes"),
+        F.count("*").cast("long").alias("n_exact"),
+        found.cast("long").alias("n_found"),
+        F.round(found / F.count("*"), 6).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1459,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled queries either superseded by a stronger recorded check
         # (noted inline) or late additions that no longer fit the cap;
         # ALL of them run under scripts/validate_entry.py each round ----
+        "q_ann_ivf_recall": q_ann_ivf_recall,  # IVF recall gate (r5; IVF itself recorded via q_ann_ivf)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
@@ -2885,6 +2913,62 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        # IVF recall gate: exact top-5 (brute force SQL) left-joined
+        # with the IVF top-5 (same quantizer SQL as q_ann_ivf, wider
+        # probe list) — recall = fraction of exact neighbors recovered
+        "q_ann_ivf_recall": f"""
+            WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+            xprobes AS (SELECT vec_id AS probe_id, v AS pv FROM base
+                        WHERE vec_id IN (0,1,2,9,17)),
+            xscored AS (
+              SELECT probe_id, vec_id, {_cos("pv", "v")} AS cos_sim
+              FROM base, xprobes WHERE vec_id != probe_id
+            ),
+            exact AS (
+              SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rank
+                FROM xscored) WHERE rank <= 5
+            ),
+            cents AS (
+              SELECT cast(vec_id as int) AS cell, v AS cv FROM base WHERE vec_id < 8
+            ),
+            sims AS (
+              SELECT b.vec_id, b.v, c.cell, {_cos("c.cv", "b.v")} AS sim
+              FROM base b CROSS JOIN cents c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cell DESC) AS rn
+              FROM sims
+            ),
+            assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+            pcells AS (
+              SELECT vec_id AS probe_id, v AS pv, cell AS pcell
+              FROM ranked WHERE rn <= 2 AND vec_id IN (0,1,2,9,17)
+            ),
+            iscored AS (
+              SELECT probe_id, a.vec_id AS vec_id, {_cos("pv", "a.v")} AS cos_sim
+              FROM assigned a JOIN pcells p
+                ON a.cell = p.pcell AND a.vec_id != p.probe_id
+            ),
+            ivf AS (
+              SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rank
+                FROM iscored) WHERE rank <= 5
+            )
+            SELECT cast(count(DISTINCT e.probe_id) as bigint) AS n_probes,
+                   cast(count(*) as bigint) AS n_exact,
+                   cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                        as bigint) AS n_found,
+                   round(cast(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                              as double) / count(*), 6) AS recall
+            FROM exact e LEFT JOIN ivf i
+              ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
         """,
         # production embedding near-dup: same hyperplane bucket formula
         # as x_ann_lsh, bucket self-join, exact cosine verify
