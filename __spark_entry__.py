@@ -375,17 +375,24 @@ def x_partition_metrics(spark, sf_dir):
 
 
 def x_multimodal_features(spark, sf_dir):
-    """Multimodal features pinned BY VALUE: the real BMP + WAV decodes
-    (and the md5 stand-in for the stubbed codecs) over the
-    deterministic synthetic media table are exact, so the oracle reads
-    the committed golden (tests/goldens/multimodal_features.json,
-    regenerate with scripts/capture_aux_goldens.py). sf-independent:
-    the media table is seeded by id, not by the corpus."""
+    """Multimodal features pinned BY VALUE: the real BMP + baseline-
+    JPEG + WAV decodes (and the md5 stand-in for the stubbed codecs)
+    over the deterministic synthetic media table are exact, so the
+    oracle reads the committed golden (tests/goldens/
+    multimodal_features.json, regenerate with scripts/
+    capture_aux_goldens.py). f0 pins dimensions, f3 pins decoded PIXEL
+    content (mean red — a JPEG Huffman/IDCT/color regression moves
+    it). sf-independent: the media table is seeded by id, not by the
+    corpus."""
     from indu_doc_transformer_spark.operators import multimodal as mm
 
     media = mm.synth_media_df(spark, 64)
     return mm.extract_features(media, fake=True).select(
-        "media_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0"), "decode_ok"
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 3), 6).alias("f3"),
+        "decode_ok",
     )
 
 
@@ -3327,10 +3334,11 @@ def oracle_sql() -> dict[str, str]:
     # explicit column types (same rule as the AML golden below): auto
     # inference would re-render any UUID/date-shaped value
     d["x_multimodal_features"] = """
-        SELECT media_id, kind, f0, decode_ok
+        SELECT media_id, kind, f0, f3, decode_ok
         FROM read_json('/root/repo/tests/goldens/multimodal_features.json',
                        columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
-                                'f0': 'DOUBLE', 'decode_ok': 'BOOLEAN'})
+                                'f0': 'DOUBLE', 'f3': 'DOUBLE',
+                                'decode_ok': 'BOOLEAN'})
     """
     # explicit column types: auto-inference parses the 32-hex md5 as a
     # UUID and re-renders it with dashes

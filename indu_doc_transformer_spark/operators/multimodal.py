@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-``decode_image`` REALLY decodes 24-bit uncompressed BMP and
-``decode_audio`` REALLY decodes RIFF/WAVE 16-bit PCM (both pure
-Python — no codec dependency), yielding deterministic pixel/waveform
-statistics features; a corrupt payload raises and becomes
-``decode_ok=False``. Compressed image/audio and all video decode stay
+``decode_image`` REALLY decodes 24-bit uncompressed BMP AND baseline
+JPEG (pure-Python T.81 codec, kernels/jpeg.py — Huffman, dequant,
+IDCT, 4:2:0/4:2:2/4:4:4, restart markers), and ``decode_audio``
+REALLY decodes RIFF/WAVE 16-bit PCM (all pure Python — no codec
+dependency), yielding deterministic pixel/waveform statistics
+features; a corrupt payload raises and becomes ``decode_ok=False``.
+Other compressed image/audio formats and all video decode stay
 STUBBED (PIL/ffmpeg are not in this container): NotImplementedError
 unless ``fake=True``, in which case a deterministic md5-based feature
 vector stands in. The Spark-side plumbing — schemas, Arrow batch
@@ -88,26 +90,39 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [mr, mg, mb, luma]
 
 
+def _image_features(w: int, h: int, rgb_luma: list[float]) -> list[float]:
+    return [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        *rgb_luma,
+        min(w / max(h, 1), 8.0) / 8.0,
+        1.0,
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """FEATURE_DIM floats from a real BMP decode: (w/4096, h/4096,
-    mean RGB, luma, aspect, fill). A non-BMP payload falls back to the
-    deterministic md5 fake when ``fake=True`` (stand-in for other
-    codecs), else raises."""
+    """FEATURE_DIM floats from a real decode — 24-bit BMP or baseline
+    JPEG (pure-Python codec, kernels/jpeg.py): (w/4096, h/4096, mean
+    RGB, luma, aspect, fill). A payload of any other format falls back
+    to the deterministic md5 fake when ``fake=True`` (stand-in for
+    codecs not in this container), else raises."""
+    p = bytes(payload)
+    if p[:2] == b"\xff\xd8":
+        from ..kernels.jpeg import decode_jpeg_stats
+
+        # corrupt/unsupported JPEG raises ValueError: a real decode
+        # failure (decode_ok=False), not another codec
+        w, h, rgb_luma = decode_jpeg_stats(p)
+        return _image_features(w, h, rgb_luma)
     try:
-        w, h, rgb_luma = decode_bmp(bytes(payload))
-        return [
-            min(w / 4096.0, 1.0),
-            min(h / 4096.0, 1.0),
-            *rgb_luma,
-            min(w / max(h, 1), 8.0) / 8.0,
-            1.0,
-        ]
+        w, h, rgb_luma = decode_bmp(p)
+        return _image_features(w, h, rgb_luma)
     except ValueError:
-        if bytes(payload)[:2] == b"BM":
+        if p[:2] == b"BM":
             raise  # corrupt BMP: a real decode failure, not another codec
         if not fake:
             raise NotImplementedError(
-                "non-BMP image decode requires PIL/opencv; run with fake=True"
+                "non-BMP/JPEG image decode requires PIL/opencv; run with fake=True"
             )
         h_ = hashlib.md5(payload).digest()
         return [h_[i] / 255.0 for i in range(FEATURE_DIM)]
@@ -214,21 +229,28 @@ def decode_video(payload: bytes, fake: bool = False) -> list[float]:
 
 
 def synth_media_df(spark, n: int = 64, corrupt_every: int = 0) -> DataFrame:
-    """Deterministic media table: image rows carry REAL 24-bit BMP
-    payloads (gradient pattern seeded by id), audio rows carry REAL
-    16-bit PCM WAV payloads (sawtooth seeded by id); video carries
-    opaque bytes for the stub path. ``corrupt_every`` > 0 plants
-    truncated BMPs at that interval to exercise decode_ok=False."""
+    """Deterministic media table: image rows alternate REAL 24-bit BMP
+    and REAL baseline-JPEG payloads (gradient pattern seeded by id;
+    every 4th JPEG is 4:2:0-subsampled), audio rows carry REAL 16-bit
+    PCM WAV payloads (sawtooth seeded by id); video carries opaque
+    bytes for the stub path. ``corrupt_every`` > 0 plants truncated
+    payloads at that interval to exercise decode_ok=False."""
+    from ..kernels.jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = 8 + i % 8, 8
-            payload = encode_bmp(
-                w, h, lambda x, y, i=i: ((x * 31 + i) % 256, (y * 17 + i) % 256, i % 256)
-            )
+            pix = lambda x, y, i=i: ((x * 31 + i) % 256, (y * 17 + i) % 256, i % 256)
+            if (i // 3) % 2:
+                payload = encode_jpeg(
+                    w, h, pix, quality=90, subsample=(i // 3) % 8 == 1
+                )
+            else:
+                payload = encode_bmp(w, h, pix)
             if corrupt_every and i % corrupt_every == 0:
-                payload = payload[: len(payload) // 2]  # truncated pixel data
+                payload = payload[: len(payload) // 2]  # truncated data
             meta = (w, h, None, None)
         elif kind == "audio":
             samples = [((j * (37 + i)) % 2048 - 1024) * 16 for j in range(160)]
