@@ -90,9 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="disable processing statistics display")
     ap.add_argument("--no-progress", action="store_true",
                     help="disable progress display during processing")
-    ap.add_argument("--export", help="export entity tables as JSON under this directory")
-    ap.add_argument("--export-format", choices=["json"], default="json",
-                    help="export format (default: json)")
+    ap.add_argument("--export", help="export entity tables under this directory")
+    ap.add_argument("--export-format", choices=["json", "parquet", "aml"],
+                    default="json",
+                    help="export format via the exporter registry "
+                    "(operators/sinks.py; default: json)")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="verbose logging (equivalent to --log-level DEBUG)")
     ap.add_argument("--log-level", default="INFO",
@@ -179,9 +181,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rows = [r.asDict() for r in ex_op.stats(tables).collect()]
             print(format_stats(rows))
         if args.export:
-            if args.export_format != "json":
-                raise SystemExit(f"Unsupported export format: {args.export_format}")
-            ex_op.json_export(tables, args.export)
+            from .operators.sinks import export_tables
+
+            export_tables(tables, args.export, format=args.export_format,
+                          config=config)
             print(f"Data exported to: {args.export}")
         print("Processing completed successfully!")
         return 0

@@ -242,3 +242,40 @@ def test_stats(spark, tables):
     st = {r.table: r.n for r in ex_op.stats(tables).collect()}
     assert st["xtargets"] == tables["xtargets"].count()
     assert set(st) == set(tables)
+
+
+def test_exporter_registry(spark, tmp_path):
+    """Pluggable sink registry (reference exporters/exporter.py:1-42
+    analog): dispatch by format name, parquet round-trip through the
+    import-side reader, custom registration, unknown-format error."""
+    import pytest
+
+    from indu_doc_transformer_spark.operators import sinks
+
+    tables = {
+        "xtargets": spark.createDataFrame(
+            [("g1", "=A1", "device"), ("g2", "+B2", "strip")],
+            "guid string, tag string, target_type string"),
+        "errors": spark.createDataFrame(
+            [("u", 1, "WARNING", "m")],
+            "url string, page_no int, severity string, message string"),
+    }
+    assert {"json", "parquet", "aml"} <= set(sinks.exporter_names())
+
+    out = str(tmp_path / "pq")
+    sinks.export_tables(tables, out, format="parquet")
+    back = sinks.read_entity_tables(spark, out, names=["xtargets", "errors", "absent"])
+    assert set(back) == {"xtargets", "errors"}
+    assert sorted(r.guid for r in back["xtargets"].collect()) == ["g1", "g2"]
+
+    sinks.export_tables(tables, str(tmp_path / "js"), format="json")
+    import glob
+    assert glob.glob(str(tmp_path / "js" / "xtargets" / "part-*"))
+
+    seen = []
+    sinks.register_exporter("probe", lambda t, p, **kw: seen.append((sorted(t), p)))
+    sinks.export_tables(tables, "/x", format="probe")
+    assert seen == [(["errors", "xtargets"], "/x")]
+
+    with pytest.raises(ValueError, match="Unsupported export format"):
+        sinks.export_tables(tables, "/x", format="nope")
