@@ -957,6 +957,19 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style sequence packing (textstats.sequence_pack): docs
+    concatenated in id order, chunked into 512-token sequences, docs
+    splitting across boundaries — one row per (doc, sequence) slice.
+    Distributed prefix sum (parallel per-partition windows + broadcast
+    subtotals), native sequence() explode; the oracle is the direct
+    single-window cumsum + generate_series unnest."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.sequence_pack(d, "doc_id", "text", 512).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_unigram_rarity(spark, sf_dir):
     """LM-style rarity scoring (textstats.unigram_rarity): corpus-wide
     unigram counts as the 'model', integer-exact per-token rarity
@@ -1494,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (noted inline) or late additions that no longer fit the cap;
         # ALL of them run under scripts/validate_entry.py each round ----
         "q_ann_ivf_recall": q_ann_ivf_recall,  # IVF recall gate (r5; IVF itself recorded via q_ann_ivf)
+        "q_sequence_pack": q_sequence_pack,  # GPT-style packing (r5; prefix-sum family with q_token_shards)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
@@ -2151,6 +2165,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
             FROM t
+        """,
+        "q_sequence_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     cast(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          as bigint) - n_tokens AS s
+              FROM t WHERE n_tokens > 0
+            ),
+            e AS (
+              SELECT doc_id, n_tokens, s, s + n_tokens AS e,
+                     unnest(generate_series(
+                       cast(floor(s / 512.0) as bigint),
+                       cast(floor((s + n_tokens - 1) / 512.0) as bigint))) AS seq_id
+              FROM c
+            )
+            SELECT doc_id, n_tokens, cast(seq_id as bigint) AS seq_id,
+                   cast(greatest(s, seq_id * 512) - seq_id * 512 as bigint) AS seq_offset,
+                   cast(greatest(s, seq_id * 512) - s as bigint) AS doc_offset,
+                   cast(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)
+                        as bigint) AS slice_len
+            FROM e
         """,
         "q_c4_rules": f"""
             WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -644,6 +644,71 @@ def token_shards_scalable(
     )
 
 
+def sequence_pack(df, id_col: str, text_col: str, seq_len: int, partitions: int = 0):
+    """GPT-style pretraining packing — the complement of
+    ``token_shards`` (which never splits a doc): documents are
+    concatenated in id order into one global token stream and chunked
+    into fixed ``seq_len`` sequences; docs DO split across sequence
+    boundaries. One output row per (doc, sequence) overlap:
+    (id, n_tokens, seq_id, seq_offset, doc_offset, slice_len) — the
+    slice map a training loader needs to materialize packed sequences.
+    Token counts use ws_token_count (the token_shards family
+    semantics: an empty string is one token, matching the oracle
+    engine); docs with no tokens (NULL text) emit nothing.
+
+    Scale shape: the same distributed prefix sum as
+    ``token_shards_scalable`` (parallel per-partition windows +
+    broadcast cluster-sized subtotal offsets — never one global window
+    task), then a native sequence() explode: a doc spanning k
+    sequences emits k rows, no Python anywhere."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    n = ws_token_count(F.col(text_col)).cast("long")
+    base = (
+        df.select(F.col(id_col).alias("id"), n.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .repartitionByRange(p, F.col("id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = base.withColumn("_cum", F.sum("n_tokens").over(w)).localCheckpoint()
+    totals = base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    acc, offsets = 0, {}
+    for r in sorted(totals, key=lambda r: r._pid):
+        offsets[int(r._pid)] = acc
+        acc += r.t
+    off_map = F.create_map(
+        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    start = F.col("_cum") - F.col("n_tokens") + off_map[F.col("_pid")]
+    seqd = base.select(
+        "id",
+        "n_tokens",
+        start.alias("_s"),
+        (start + F.col("n_tokens")).alias("_e"),
+        F.explode(
+            F.sequence(
+                F.floor(start / seq_len).cast("long"),
+                F.floor((start + F.col("n_tokens") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    slice_start = F.greatest(F.col("_s"), F.col("seq_id") * seq_len)
+    slice_end = F.least(F.col("_e"), (F.col("seq_id") + 1) * seq_len)
+    return seqd.select(
+        "id",
+        "n_tokens",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (slice_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (slice_start - F.col("_s")).cast("long").alias("doc_offset"),
+        (slice_end - slice_start).cast("long").alias("slice_len"),
+    )
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""

@@ -1010,3 +1010,58 @@ def test_dup_ngram_char_stats_planted(spark):
     assert out[1].dup5_frac == 1.0  # capped: overlapping grams overcount
     assert out[1].dup10_frac > 0.9
     assert all(getattr(out[2], f"dup{n}_frac") == 0.0 for n in range(5, 11))
+
+
+def test_sequence_pack_invariants(spark):
+    """GPT-style packing (textstats.sequence_pack): hand-checked slice
+    map plus global invariants — per-doc slices reassemble the doc,
+    every interior sequence is exactly full, offsets are consistent,
+    and the result is invariant to the partition count (the
+    distributed prefix sum cannot depend on partition bounds)."""
+    from indu_doc_transformer_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, ""), (4, "i j"), (5, "k l m n")],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.seq_id): r for r in
+           ts.sequence_pack(docs, "doc_id", "text", 4).collect()}
+    # ws_token_count("") == 1 (split of '' -> ['']), the same family
+    # semantics as token_shards on both engines. Stream: doc1 [0,3)
+    # doc2 [3,8) doc3 [8,9) doc4 [9,11) doc5 [11,15); L=4
+    assert set(out) == {(1, 0), (2, 0), (2, 1), (3, 2), (4, 2), (5, 2), (5, 3)}
+    assert (out[(1, 0)].seq_offset, out[(1, 0)].doc_offset,
+            out[(1, 0)].slice_len) == (0, 0, 3)
+    assert (out[(2, 0)].seq_offset, out[(2, 0)].doc_offset,
+            out[(2, 0)].slice_len) == (3, 0, 1)
+    assert (out[(2, 1)].seq_offset, out[(2, 1)].doc_offset,
+            out[(2, 1)].slice_len) == (0, 1, 4)
+    assert (out[(4, 2)].seq_offset, out[(4, 2)].doc_offset,
+            out[(4, 2)].slice_len) == (1, 0, 2)
+    assert (out[(5, 3)].seq_offset, out[(5, 3)].doc_offset,
+            out[(5, 3)].slice_len) == (0, 1, 3)
+
+    big = spark.createDataFrame(
+        [(i, "w " * (1 + i % 37)) for i in range(200)], "doc_id long, text string"
+    )
+    rows = ts.sequence_pack(big, "doc_id", "text", 64, partitions=8).collect()
+    by_doc, by_seq = {}, {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+        by_seq.setdefault(r.seq_id, 0)
+        by_seq[r.seq_id] += r.slice_len
+    total = sum(1 + i % 37 for i in range(200))
+    for i, slices in by_doc.items():
+        assert sum(s.slice_len for s in slices) == 1 + i % 37
+        for s in slices:
+            assert 0 <= s.seq_offset < 64 and s.seq_offset + s.slice_len <= 64
+    for sid, filled in by_seq.items():
+        if sid < max(by_seq):
+            assert filled == 64, (sid, filled)  # interior sequences full
+    assert sum(by_seq.values()) == total
+    # partition invariance
+    alt = sorted((r.id, r.seq_id, r.seq_offset, r.doc_offset, r.slice_len)
+                 for r in ts.sequence_pack(big, "doc_id", "text", 64,
+                                           partitions=3).collect())
+    assert alt == sorted((r.id, r.seq_id, r.seq_offset, r.doc_offset, r.slice_len)
+                         for r in rows)
