@@ -957,6 +957,24 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (decontam.semantic_contamination
+    — the paraphrase-leakage companion to q_decontaminate): embeddings
+    with vec_id < 25 are the 'benchmark' set; each training embedding
+    is flagged by its max cosine against any benchmark vector (0.3
+    threshold tuned to the synthetic random embeddings for signal).
+    Bench broadcast, map-side cross product, partial-aggregated before
+    the one train-id shuffle."""
+    from indu_doc_transformer_spark.operators import decontam as dc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 25)
+    train = emb.where(F.col("vec_id") >= 25)
+    return dc.semantic_contamination(
+        train, bench, "vec_id", "embedding", threshold=0.3
+    ).withColumnRenamed("id", "vec_id")
+
+
 def q_sequence_pack(spark, sf_dir):
     """GPT-style sequence packing (textstats.sequence_pack): docs
     concatenated in id order, chunked into 512-token sequences, docs
@@ -1508,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALL of them run under scripts/validate_entry.py each round ----
         "q_ann_ivf_recall": q_ann_ivf_recall,  # IVF recall gate (r5; IVF itself recorded via q_ann_ivf)
         "q_sequence_pack": q_sequence_pack,  # GPT-style packing (r5; prefix-sum family with q_token_shards)
+        "q_semantic_decontam": q_semantic_decontam,  # embedding decontam (r5; cosine ⊂ recorded ANN checks)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
@@ -2165,6 +2184,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
             FROM t
+        """,
+        "q_semantic_decontam": f"""
+            WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+            b AS (SELECT v AS bv FROM e WHERE vec_id < 25),
+            t AS (SELECT vec_id, v AS tv FROM e WHERE vec_id >= 25),
+            m AS (
+              SELECT vec_id, max({_cos("tv", "bv")}) AS mx
+              FROM t CROSS JOIN b GROUP BY vec_id
+            )
+            SELECT vec_id, round(mx, 6) AS max_cos_sim,
+                   CASE WHEN mx >= 0.3 THEN 0 ELSE 1 END AS keep
+            FROM m
         """,
         "q_sequence_pack": """
             WITH t AS (

@@ -106,3 +106,38 @@ def ngram_contamination(
     return out.withColumn(
         "keep", (F.col("contam_frac") <= max_frac).cast("int")
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic companion to
+    ``ngram_contamination`` (paraphrased eval leakage that shares no
+    n-grams): flag training documents whose maximum cosine similarity
+    against ANY benchmark embedding reaches ``threshold``. Returns
+    (id, max_cos_sim, keep).
+
+    Scale design: the benchmark side is broadcast (eval suites are
+    tiny vs the training corpus); the cross product is map-side and
+    partial-aggregated before the single train-id-keyed shuffle, so
+    the wide state is |train| rows, never |train| x |bench|. NaN
+    cosines (zero-norm vectors, ANSI-guarded division) rank greatest
+    in max() and count as contaminated on both engines — fail-closed
+    for degenerate embeddings."""
+    t = train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_tv"))
+    b = bench.select(F.col(vec_col).alias("_bv"))
+    from .dedup import embedding_cosine
+
+    sim = embedding_cosine(F.col("_tv"), F.col("_bv"))
+    agg = t.crossJoin(broadcast(b)).groupBy("id").agg(
+        F.max(sim).alias("_mx")
+    )
+    return agg.select(
+        "id",
+        F.round(F.col("_mx"), 6).alias("max_cos_sim"),
+        (~(F.col("_mx") >= threshold)).cast("int").alias("keep"),
+    )

@@ -1065,3 +1065,31 @@ def test_sequence_pack_invariants(spark):
                                            partitions=3).collect())
     assert alt == sorted((r.id, r.seq_id, r.seq_offset, r.doc_offset, r.slice_len)
                          for r in rows)
+
+
+def test_semantic_contamination_planted(spark):
+    """Embedding decontamination: an exact copy of a benchmark vector
+    is flagged (cos=1), an orthogonal one is clean, a zero-norm vector
+    (NaN cosine) fails closed as contaminated."""
+    from indu_doc_transformer_spark.operators.decontam import \
+        semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # same direction -> cos 1.0
+            (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> cos 0.0
+            (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite -> cos -1.0
+            (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> NaN, fail closed
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.id: r for r in semantic_contamination(
+        train, bench, "vec_id", "embedding", threshold=0.95).collect()}
+    assert out[1].max_cos_sim == 1.0 and out[1].keep == 0
+    assert out[2].max_cos_sim == 0.0 and out[2].keep == 1
+    assert out[3].max_cos_sim == -1.0 and out[3].keep == 1
+    import math
+    assert math.isnan(out[4].max_cos_sim) and out[4].keep == 0
