@@ -540,7 +540,13 @@ def extract_document(html: bytes | str, page_setups: dict[str, PageSetup] = PAGE
         return result
     result["footer"] = footer
 
-    setup = page_setups[page_type]
+    setup = page_setups.get(page_type)
+    if setup is None:
+        # reachable only with user-supplied extraction settings (-e)
+        # that omit a classified page type: an E2 error row, never a
+        # task-killing KeyError
+        errors.append(("FAULT", f"No page setup for page type `{page_type}`"))
+        return result
     tables = [b for b in blocks if b.kind == "table"]
     floats = [b for b in blocks if b.kind == "float_span"]
 

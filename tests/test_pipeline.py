@@ -274,3 +274,32 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     # bad input -> error path, exit 1
     assert main(["/nonexistent/nowhere.parquet", "-o", str(tmp_path / "o2"),
                  "--no-progress"], spark=spark) == 1
+
+
+def test_custom_extraction_settings_missing_type_is_error_row(spark):
+    """User-supplied -e settings that omit a classified page type must
+    produce per-doc FAULT rows (the E2 rule), not a task-killing
+    KeyError; docs of the remaining types extract normally."""
+    import json
+
+    from indu_doc_transformer_spark.config import (PAGE_SETUPS,
+                                                   page_setups_to_json)
+    from indu_doc_transformer_spark.operators import extraction as ex
+
+    docs = corpus_df(spark, 40, partitions=2)
+    full = ex.extract(docs)
+    types = {r.page_type for r in full.select("page_type").distinct().collect()
+             if r.page_type}
+    assert len(types) >= 2
+    dropped = sorted(types)[0]
+    setups = {k: v for k, v in PAGE_SETUPS.items() if k != dropped}
+    out = ex.extract(docs, page_setups_json=page_setups_to_json(setups))
+    rows = out.select("url", "page_type", "errors", "rows").collect()
+    assert len(rows) == 40  # no task failures, every doc produced a row
+    hit = [r for r in rows if r.page_type == dropped]
+    assert hit, "corpus must contain the dropped type"
+    for r in hit:
+        assert any("No page setup" in e.message for e in r.errors), r
+        assert r.rows == []
+    ok = [r for r in rows if r.page_type in types and r.page_type != dropped]
+    assert any(r.rows for r in ok)  # other types unaffected
