@@ -173,3 +173,28 @@ def test_decode_image_routes_jpeg():
     assert max(abs(a - b) for a, b in zip(feats_j, feats_b)) < 0.02
     with pytest.raises(ValueError):
         decode_image(J.encode_jpeg(w, h, _pix)[:-10], fake=True)
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 3),
+       st.integers(40, 98))
+@settings(max_examples=30, deadline=None)
+def test_roundtrip_fuzz(w, h, mode, quality):
+    """Random dims x mode x quality: dims always exact, means within
+    lossy tolerance of the independent BMP truth (tolerance widens at
+    low quality)."""
+    kw = [{}, {"subsample": True}, {"grayscale": True},
+          {"restart_interval": 1}][mode]
+
+    def pix(x, y):
+        return ((x * 41 + y * 7 + w) % 256, (y * 23 + h) % 256,
+                (x * 11 + y * 29 + 13) % 256)
+
+    data = J.encode_jpeg(w, h, pix, quality=quality, **kw)
+    W, H, means = J.decode_jpeg_stats(data)
+    assert (W, H) == (w, h)
+    _, _, truth = decode_bmp(encode_bmp(w, h, pix))
+    tol = 0.02 if quality >= 80 else 0.06
+    if kw.get("grayscale"):
+        assert abs(means[3] - truth[3]) < tol
+    else:
+        assert max(abs(a - b) for a, b in zip(means, truth)) < tol
