@@ -257,6 +257,10 @@ def _decode_jpeg_impl(payload: bytes):
             raise ValueError("truncated JPEG (no EOI)")
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: optional fill bytes (repeated 0xFF) may precede
+        # any marker code
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

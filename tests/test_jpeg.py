@@ -198,3 +198,14 @@ def test_roundtrip_fuzz(w, h, mode, quality):
         assert abs(means[3] - truth[3]) < tol
     else:
         assert max(abs(a - b) for a, b in zip(means, truth)) < tol
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: repeated 0xFF fill bytes before a marker code are
+    legal padding — the parser must skip them, not misread 0xFF as a
+    marker id."""
+    data = J.encode_jpeg(16, 16, _pix)
+    # inject fill bytes before the DQT and SOF markers
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xff\xff\xc0", 1)
+    assert J.decode_jpeg_stats(padded) == J.decode_jpeg_stats(data)
