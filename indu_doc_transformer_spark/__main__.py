@@ -69,7 +69,10 @@ def load_input(spark, spec: str):
 
     if spec.startswith("synth:"):
         return corpus_df(spark, int(spec.split(":", 1)[1]))
-    if spec.rstrip("*/").endswith((".warc", ".warc.gz")) or ".warc" in spec:
+    # WARC only on an explicit extension (directly or behind a glob):
+    # a bare substring match would misroute e.g. a
+    # 'crawl.warc_extracted.parquet' table into the archive parser
+    if spec.rstrip("*/?").endswith((".warc", ".warc.gz")):
         return read_warc(spark, spec)
     return read_table(spark, spec)
 
@@ -142,10 +145,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     def on_sigint(signum, frame):
         # first Ctrl-C: cooperative stop; a second one falls through to
-        # the default handler (hard kill — the registry still resumes)
-        print("\n\nStopping processing...", flush=True)
-        control.stop()
+        # the default handler (hard kill — the registry still resumes).
+        # Re-arm SIG_DFL BEFORE stopping, and run stop() on its own
+        # thread: the handler fires nested inside the main thread's
+        # in-flight py4j call, and under pinned-thread mode a reentrant
+        # cancelJobGroup on that same thread-bound connection would
+        # deadlock until the blocked call returns
+        import threading
+
         signal.signal(signal.SIGINT, signal.SIG_DFL)
+        print("\n\nStopping processing...", flush=True)
+        threading.Thread(target=control.stop, daemon=True).start()
 
     old_sigint = signal.getsignal(signal.SIGINT)
     try:

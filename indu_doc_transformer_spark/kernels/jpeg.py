@@ -29,6 +29,10 @@ from __future__ import annotations
 import math
 import struct
 
+# decode bound: a pure-Python correctness decoder has no business with
+# gigapixel frames, and an unvalidated SOF must never drive allocation
+MAX_PIXELS = 1 << 24  # 16.7 MP (a full camera frame; planes stay sub-GB)
+
 # zigzag position k -> natural (row-major) coefficient index
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -312,6 +316,14 @@ def _decode_jpeg_impl(payload: bytes):
                 raise ValueError(f"unsupported component count {nc}")
             if width == 0 or height == 0:
                 raise ValueError("zero dimensions")
+            if width * height > MAX_PIXELS:
+                # a <200-byte crafted SOF can declare 65535x65535 and
+                # would otherwise force a ~34 GB plane allocation
+                # (MemoryError escapes the ValueError-totality
+                # contract); bound BEFORE allocating
+                raise ValueError(
+                    f"image too large: {width}x{height} > {MAX_PIXELS} px"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = struct.unpack_from(">BBB", seg, 6 + 3 * c)

@@ -136,8 +136,18 @@ def semantic_contamination(
     agg = t.crossJoin(broadcast(b)).groupBy("id").agg(
         F.max(sim).alias("_mx")
     )
-    return agg.select(
-        "id",
-        F.round(F.col("_mx"), 6).alias("max_cos_sim"),
-        (~(F.col("_mx") >= threshold)).cast("int").alias("keep"),
+    # join the verdicts back onto ALL train ids: with an EMPTY bench
+    # the cross product vanishes and an inner result would drop every
+    # training doc's keep verdict — the ngram gate keeps zero-gram docs
+    # (keep=1, clean), so the semantic gate does the same
+    return (
+        t.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.round(F.col("_mx"), 6).alias("max_cos_sim"),
+            F.coalesce(
+                (~(F.col("_mx") >= threshold)).cast("int"), F.lit(1)
+            ).alias("keep"),
+        )
     )

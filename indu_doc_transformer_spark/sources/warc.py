@@ -54,6 +54,12 @@ WARC_SCHEMA = (
 
 _CHUNK = 1 << 20  # 1 MiB decompressed-output / file-read granularity
 _FLUSH_BYTES = 64 << 20  # flush kernel output every ~64 MiB of html
+# a Content-Length above this is treated as a malformed record (bad),
+# not buffered: otherwise one adversarial/corrupt length would make
+# the streaming walker accumulate the whole remaining file, voiding
+# the O(largest-record) memory bound. Common-Crawl payloads are ~1 MiB
+# (truncated); 1 GiB is far beyond any legitimate record.
+MAX_RECORD_BYTES = 1 << 30
 
 
 def _parse_header_lines(head) -> dict:
@@ -115,9 +121,10 @@ def _parse_one(data, pos: int, eof: bool):
         length = int(headers.get("content-length", ""))
     except ValueError:
         length = -1
-    if length < 0:
-        # missing/garbage/NEGATIVE length: a negative value would
-        # move the scan position BACKWARDS (infinite loop) — treat
+    if length < 0 or length > MAX_RECORD_BYTES:
+        # missing/garbage/NEGATIVE length (would move the scan
+        # BACKWARDS — infinite loop) or an absurd length (would make
+        # the streaming walker buffer the whole remaining file): treat
         # as malformed and resume at the next version line
         return "record", {"bad": True}, body_start
     if body_start + length > n and not eof:
@@ -213,15 +220,18 @@ def _iter_gunzip_chunks(
     eof_in = False
     while True:
         if d is None:
-            # between members: need >=2 buffered bytes to sniff the
-            # next magic (it may straddle an input chunk boundary)
+            # between members: zero padding is legal and may span read
+            # chunks — discard it BEFORE sniffing, so the outcome can't
+            # depend on where a chunk boundary falls relative to the
+            # padding (a member after padding must never be dropped)
+            buf = buf.lstrip(b"\x00")
             if len(buf) < 2 and not eof_in:
                 try:
                     buf += next(it)
                 except StopIteration:
                     eof_in = True
                 continue
-            if not buf or not buf.strip(b"\x00"):  # zero padding is legal
+            if not buf:
                 return
             if buf[:2] == b"\x1f\x8b":
                 d = zlib.decompressobj(31)
@@ -278,10 +288,22 @@ def _iter_raw_chunks(
 
 def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
     """Bounded-size reads of a local file; accepts 'file:' URIs as
-    produced by the binaryFile source."""
+    produced by the binaryFile source. A non-local scheme (hdfs://,
+    s3a://, ... — possible when a scheme-less input resolved through a
+    remote defaultFS) raises RuntimeError, which the ingest kernels do
+    NOT swallow: better a loud task failure than silently returning
+    zero rows for every archive."""
     local = path
-    if local.startswith("file:"):
-        local = local[5:]
+    scheme, sep, _ = local.partition(":")
+    if sep and scheme not in ("file", "local"):
+        raise RuntimeError(
+            f"WARC local-streaming got non-local path {path!r}; the "
+            "cluster's default filesystem is remote — read_warc's "
+            "content mode handles this (pass an explicit scheme in the "
+            "input path)"
+        )
+    if local.startswith(("file:", "local:")):
+        local = local.partition(":")[2]
         while local.startswith("//"):
             local = local[1:]
     with open(local, "rb") as f:

@@ -266,3 +266,53 @@ print("OK", n, total, delta_b)
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert r.stdout.startswith("OK")
+
+
+def test_warc_gunzip_padding_and_bomb_guard():
+    """Review fixes pinned: (a) zero padding between gzip members must
+    not end the stream regardless of how read-chunk boundaries fall —
+    members after padding survive; (b) an absurd Content-Length is a
+    bad record, not an instruction to buffer the rest of the file."""
+    import gzip
+
+    from indu_doc_transformer_spark.sources import warc as w
+
+    def rec(url, body):
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                + body + b"\r\n\r\n")
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\npage"
+    arc = (gzip.compress(rec(b"http://a/", body)) + b"\x00" * 7
+           + gzip.compress(rec(b"http://b/", body)) + b"\x00" * 3)
+    for chunk in (1, 2, 5, 11, len(arc)):
+        pieces = [arc[i:i + chunk] for i in range(0, len(arc), chunk)]
+        urls = [r["url"] for r in w.iter_warc_stream(w._iter_raw_chunks(pieces))
+                if not r.get("bad")]
+        assert urls == ["http://a/", "http://b/"], (chunk, urls)
+
+    bomb = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://bomb/\r\n"
+            b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            b"Content-Length: 1099511627776\r\n\r\n" + rec(b"http://ok/", body))
+    out = list(w.parse_warc(bomb))
+    assert any(r.get("bad") for r in out)
+    assert [r["url"] for r in out if not r.get("bad")] == ["http://ok/"]
+    # streamed walk agrees and never tries to buffer a TiB
+    assert list(w.iter_warc_stream([bomb[i:i + 9] for i in
+                                    range(0, len(bomb), 9)])) == out
+
+
+def test_warc_nonlocal_scheme_fails_loudly():
+    """A remote-scheme path reaching the local-streaming reader must
+    raise (RuntimeError, not swallowed as a corrupt-archive OSError):
+    silent empty output on a remote-defaultFS cluster is the failure
+    mode this guards."""
+    import pytest
+
+    from indu_doc_transformer_spark.sources.warc import _iter_file_chunks
+
+    with pytest.raises(RuntimeError, match="non-local path"):
+        list(_iter_file_chunks("hdfs://nn/crawl/x.warc.gz"))

@@ -209,3 +209,16 @@ def test_fill_bytes_before_markers():
     padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
         b"\xff\xc0", b"\xff\xff\xff\xff\xc0", 1)
     assert J.decode_jpeg_stats(padded) == J.decode_jpeg_stats(data)
+
+
+def test_dimension_bomb_is_valueerror():
+    """A <200-byte SOF declaring 65535x65535 must raise ValueError
+    BEFORE any plane allocation — MemoryError would escape the
+    decoder's totality contract and kill the Spark task."""
+    data = J.encode_jpeg(8, 8, _pix)
+    sof_at = data.find(b"\xff\xc0")
+    # patch height/width fields inside SOF0 (offsets: marker+2 len+1 prec)
+    bomb = bytearray(data)
+    struct.pack_into(">HH", bomb, sof_at + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="too large"):
+        J.decode_jpeg_stats(bytes(bomb))

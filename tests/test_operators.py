@@ -1093,3 +1093,20 @@ def test_semantic_contamination_planted(spark):
     assert out[3].max_cos_sim == -1.0 and out[3].keep == 1
     import math
     assert math.isnan(out[4].max_cos_sim) and out[4].keep == 0
+
+
+def test_semantic_contamination_empty_bench_keeps_all(spark):
+    """An empty benchmark set must yield keep=1 for EVERY training doc
+    (NULL max_cos_sim) — matching the n-gram gate's zero-gram
+    semantics; an inner-join shape would silently drop the corpus."""
+    from indu_doc_transformer_spark.operators.decontam import \
+        semantic_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    bench = train.where(F.col("vec_id") < 0)  # empty
+    out = {r.id: r for r in semantic_contamination(
+        train, bench, "vec_id", "embedding").collect()}
+    assert set(out) == {1, 2}
+    assert all(r.keep == 1 and r.max_cos_sim is None for r in out.values())

@@ -303,3 +303,27 @@ def test_custom_extraction_settings_missing_type_is_error_row(spark):
         assert r.rows == []
     ok = [r for r in rows if r.page_type in types and r.page_type != dropped]
     assert any(r.rows for r in ok)  # other types unaffected
+
+
+def test_cli_input_routing(spark, monkeypatch):
+    """A parquet path that merely CONTAINS '.warc' must route to the
+    table reader, not the archive parser; real .warc/.warc.gz paths and
+    globs route to the WARC reader."""
+    from unittest.mock import MagicMock
+
+    from indu_doc_transformer_spark import __main__ as cli
+    from indu_doc_transformer_spark.sources import catalog, warc
+
+    calls = []
+    monkeypatch.setattr(warc, "read_warc", lambda s, p: calls.append(("warc", p)))
+    monkeypatch.setattr(catalog, "read_table", lambda s, p: calls.append(("table", p)))
+    for spec, want in [
+        ("/d/crawl.warc_extracted.parquet", "table"),
+        ("/d/x.warc.gz", "warc"),
+        ("/d/x.warc", "warc"),
+        ("/d/crawl/*.warc.gz", "warc"),
+        ("/d/docs_parquet", "table"),
+    ]:
+        calls.clear()
+        cli.load_input(MagicMock(), spec)
+        assert calls and calls[0][0] == want, (spec, calls)
