@@ -957,6 +957,18 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal
+    (dedup.duplicate_span_removal): every token covered by a 5-token
+    window whose hash repeats anywhere in the corpus is cut from every
+    occurrence; docs rebuilt from survivors (text_md5 pins the rebuilt
+    bytes). k=5 so the synthetic boilerplate yields real spans."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicate_span_removal(d, "doc_id", "text", k=5).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-space decontamination (decontam.semantic_contamination
     — the paraphrase-leakage companion to q_decontaminate): embeddings
@@ -1527,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_recall": q_ann_ivf_recall,  # IVF recall gate (r5; IVF itself recorded via q_ann_ivf)
         "q_sequence_pack": q_sequence_pack,  # GPT-style packing (r5; prefix-sum family with q_token_shards)
         "q_semantic_decontam": q_semantic_decontam,  # embedding decontam (r5; cosine ⊂ recorded ANN checks)
+        "q_dup_span_removal": q_dup_span_removal,  # ExactSubstr-style span cut (r5; gram machinery ⊂ q_decontaminate)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
@@ -2184,6 +2197,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
             FROM t
+        """,
+        "q_dup_span_removal": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, i AS start,
+                     md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
+              FROM t, unnest(generate_series(1, len(toks) - 4)) AS g(i)
+              WHERE len(toks) >= 5
+            ),
+            duph AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+            fl AS (
+              SELECT doc_id, list(start) AS starts
+              FROM w WHERE h IN (SELECT h FROM duph) GROUP BY doc_id
+            ),
+            j AS (
+              SELECT t.doc_id, toks,
+                     coalesce(fl.starts, []) AS starts
+              FROM t LEFT JOIN fl ON t.doc_id = fl.doc_id
+            ),
+            kept AS (
+              SELECT doc_id, toks, starts,
+                     list_filter(
+                       list_transform(generate_series(1, len(toks)),
+                                      i -> {'pos': i, 't': toks[i]}),
+                       s -> len(list_filter(starts,
+                              st -> st <= s.pos AND s.pos < st + 5)) = 0
+                     ) AS kt
+              FROM j
+            )
+            SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+                   cast(len(toks) - len(kt) as bigint) AS n_removed,
+                   md5(coalesce(
+                     array_to_string(list_transform(kt, s -> s.t), ' '), ''))
+                     AS text_md5
+            FROM kept
         """,
         "q_semantic_decontam": f"""
             WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

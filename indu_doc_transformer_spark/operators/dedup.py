@@ -879,3 +879,80 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("text_md5"),
     )
+
+
+def duplicate_span_removal(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, recast with k-token shingle hashes): every token covered
+    by ANY k-token window whose hash occurs more than once corpus-wide
+    is removed from every occurrence; documents are rebuilt from the
+    surviving tokens in order. Symmetric removal (all copies go) —
+    deterministic with no global ordering pass. Returns
+    (id, n_tokens, n_removed, text_md5); docs shorter than k tokens
+    are trivially kept whole.
+
+    Scale: window hashes explode linearly (the decontam-gram shape,
+    one pass, md5 32-byte keys); duplicate detection is a hash-keyed
+    aggregate with map-side combine (a boilerplate span appearing in
+    half the corpus folds per-task BEFORE the shuffle — never a window
+    over the hot hash); flagged starts join back id-keyed; the
+    coverage filter is a native higher-order exists per token. Two
+    shuffles: hash agg + id-keyed rebuild."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    wins = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(F.array_join(F.slice("toks", i, k), " ")).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.expr(
+                "cast(array() as array<struct<start:int,h:string>>)"
+            ))
+        ).alias("w"),
+    ).select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h").groupBy("id").agg(
+        F.collect_list("start").alias("starts")
+    )
+    joined = base.join(flagged, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("starts", F.expr("cast(array() as array<int>)")).alias("starts"),
+    )
+    # position K (1-based) is removed iff some flagged start s covers
+    # it: s <= K < s + k
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.struct(
+                i.alias("pos"), F.element_at("toks", i).alias("t")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("starts"),
+            lambda st: (st <= s["pos"]) & (s["pos"] < st + k),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(F.transform(kept, lambda s: s["t"]), " ")).alias(
+            "text_md5"
+        ),
+    )

@@ -1110,3 +1110,33 @@ def test_semantic_contamination_empty_bench_keeps_all(spark):
         train, bench, "vec_id", "embedding").collect()}
     assert set(out) == {1, 2}
     assert all(r.keep == 1 and r.max_cos_sim is None for r in out.values())
+
+
+def test_duplicate_span_removal_planted(spark):
+    """ExactSubstr-style span cut: a shared k-token span vanishes from
+    BOTH occurrences (symmetric removal), unique text survives
+    byte-exact, sub-k docs are kept whole."""
+    import hashlib
+
+    from indu_doc_transformer_spark.operators import dedup as dd2
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight"),
+            (3, "totally unique words here nine ten"),
+            (4, "tiny doc"),  # < k tokens: trivially kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dd2.duplicate_span_removal(
+        docs, "doc_id", "text", k=4).collect()}
+    # the shared 4-token window is cut from both docs
+    assert out[1].n_removed == 4 and out[2].n_removed == 4
+    assert out[1].text_md5 == hashlib.md5(b"one two three four").hexdigest()
+    assert out[2].text_md5 == hashlib.md5(b"five six seven eight").hexdigest()
+    assert out[3].n_removed == 0
+    assert out[3].text_md5 == hashlib.md5(
+        b"totally unique words here nine ten").hexdigest()
+    assert out[4].n_removed == 0 and out[4].n_tokens == 2
