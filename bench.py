@@ -142,6 +142,8 @@ def main() -> None:
         ("q_decontaminate", 1),
         ("q_line_dedup", micro_runs),
         ("q_curation_funnel", 1),
+        ("q_dup_span_removal", micro_runs),  # r5 addition: extras only,
+        # so the headline `value` stays comparable across rounds
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), into=extra, runs=runs)
 
