@@ -957,6 +957,25 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture weights (sampling.temperature_weights
+    — the T5/mT5/PaLM tau-sampling rule): per-source w ∝ n^0.7 plus
+    the integer percent that feeds the deterministic md5-bucket
+    sampler for a 300-doc budget."""
+    from indu_doc_transformer_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    return sp.temperature_weights(d, "source", tau=0.7, budget_docs=300)
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source data-card panel (textstats.corpus_report): doc/token
+    counts, mean length, distinct fingerprints, exact-dup fraction —
+    one map-side-combined aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.corpus_report(d, "source", "text")
+
+
 def q_dup_span_removal(spark, sf_dir):
     """ExactSubstr-style duplicated-span removal
     (dedup.duplicate_span_removal): every token covered by a 5-token
@@ -1540,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sequence_pack": q_sequence_pack,  # GPT-style packing (r5; prefix-sum family with q_token_shards)
         "q_semantic_decontam": q_semantic_decontam,  # embedding decontam (r5; cosine ⊂ recorded ANN checks)
         "q_dup_span_removal": q_dup_span_removal,  # ExactSubstr-style span cut (r5; gram machinery ⊂ q_decontaminate)
+        "q_temperature_mixture": q_temperature_mixture,  # tau-sampling weights (r5; sampler ⊂ q_stratified_sample)
+        "q_corpus_report": q_corpus_report,  # per-source data card (r5; fp/token exprs ⊂ recorded checks)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
@@ -2197,6 +2218,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
             FROM t
+        """,
+        "q_temperature_mixture": """
+            WITH a AS (SELECT source, cast(count(*) as bigint) AS n_docs
+                       FROM documents GROUP BY source),
+            p AS (SELECT source, n_docs,
+                         pow(cast(n_docs as double), 0.7) AS pp FROM a),
+            t AS (SELECT sum(pp) AS tot FROM p)
+            SELECT source, n_docs, round(pp / tot, 6) AS weight,
+                   cast(least(100, round(100.0 * 300 * pp / tot / n_docs))
+                        as int) AS rate_pct
+            FROM p CROSS JOIN t
+        """,
+        "q_corpus_report": f"""
+            WITH b AS (
+              SELECT source,
+                     cast(len(regexp_split_to_array(trim(text), '\\s+'))
+                          as bigint) AS n,
+                     md5({_NORM}) AS fp
+              FROM documents
+            )
+            SELECT source, cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n) as bigint) AS total_tokens,
+                   round(avg(n), 6) AS mean_tokens,
+                   cast(count(DISTINCT fp) as bigint) AS n_distinct,
+                   round(1.0 - count(DISTINCT fp) / count(*), 6)
+                     AS exact_dup_frac
+            FROM b GROUP BY source
         """,
         "q_dup_span_removal": """
             WITH t AS (

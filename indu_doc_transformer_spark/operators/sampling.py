@@ -136,3 +136,36 @@ def stratified_sample(
     ).withColumn(
         "keep", (F.col("bucket") * 100 < rate * 65536).cast("int")
     )
+
+
+def temperature_weights(
+    df: DataFrame, source_col: str, tau: float = 0.7, budget_docs: int = 1000
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the T5/mT5/PaLM multi-source
+    sampling rule): w_i = n_i^tau / sum_j n_j^tau — tau < 1 upweights
+    small sources, tau = 1 is natural frequency. Returns (source,
+    n_docs, weight, rate_pct) where rate_pct is the integer percent to
+    feed stratified_sample/training_mixture, sized so the expected kept
+    docs ≈ budget_docs * weight (capped at the source's own size) —
+    the doc-level selection itself stays md5-bucket deterministic.
+
+    Scale: one count aggregate to #sources rows, one broadcast
+    scalar-total cross join; nothing here touches document text."""
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    pw = agg.withColumn(
+        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    )
+    tot = pw.agg(F.sum("_p").alias("_tot"))
+    share = F.col("_p") / F.col("_tot")
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("weight"),
+        F.least(
+            F.lit(100),
+            F.round(F.lit(100.0 * budget_docs) * share / F.col("n_docs"))
+            .cast("int"),
+        ).alias("rate_pct"),
+    )

@@ -713,3 +713,26 @@ def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5-uuid of the normalized text (the
     reference's content-hash GUID scheme applied to documents)."""
     return md5_uuid(norm_text(c))
+
+
+def corpus_report(df, source_col: str, text_col: str) -> DataFrame:
+    """Per-source data-card panel (the summary table a training-data
+    release ships): (source, n_docs, total_tokens, mean_tokens,
+    n_distinct, exact_dup_frac) — dup rate via the normalized-text md5
+    fingerprint. ONE aggregation with map-side combine; at 100 TB this
+    is the cheapest full-corpus pass there is (no text leaves the
+    mapper, only per-source partials)."""
+    base = df.select(
+        F.col(source_col).alias("source"),
+        ws_token_count(F.col(text_col)).cast("long").alias("_n"),
+        F.md5(norm_text(F.col(text_col))).alias("_fp"),
+    )
+    n = F.count("*").cast("long")
+    nd = F.countDistinct("_fp").cast("long")
+    return base.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_tokens"),
+        F.round(F.avg("_n"), 6).alias("mean_tokens"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd / n, 6).alias("exact_dup_frac"),
+    )

@@ -1140,3 +1140,49 @@ def test_duplicate_span_removal_planted(spark):
     assert out[3].text_md5 == hashlib.md5(
         b"totally unique words here nine ten").hexdigest()
     assert out[4].n_removed == 0 and out[4].n_tokens == 2
+
+
+def test_temperature_weights_properties(spark):
+    """tau-sampling: weights sum to 1; tau=1 reproduces natural
+    frequency; tau<1 strictly upweights the smaller source relative to
+    its natural share; rate_pct sized to the budget and capped at
+    100."""
+    from indu_doc_transformer_spark.operators import sampling as sp2
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    w1 = {r.source: r for r in sp2.temperature_weights(
+        df, "source", tau=1.0, budget_docs=50).collect()}
+    assert abs(w1["big"].weight - 0.9) < 1e-6
+    assert abs(w1["small"].weight - 0.1) < 1e-6
+    assert w1["big"].rate_pct == 50 and w1["small"].rate_pct == 50
+    w7 = {r.source: r for r in sp2.temperature_weights(
+        df, "source", tau=0.7, budget_docs=200).collect()}
+    assert abs(w7["big"].weight + w7["small"].weight - 1.0) < 1e-6
+    assert w7["small"].weight > 0.1  # upweighted vs natural share
+    assert w7["big"].weight < 0.9
+    assert w7["small"].rate_pct == 100  # capped: budget exceeds source
+
+
+def test_corpus_report_planted(spark):
+    """Data-card panel: counts, token totals, and the exact-dup
+    fraction from the normalized fingerprint."""
+    from indu_doc_transformer_spark.operators import textstats as ts2
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "one two three"),
+            (2, "web", "ONE   two Three"),  # normalized dup of 1
+            (3, "web", "four five"),
+            (4, "books", "alpha beta gamma delta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in ts2.corpus_report(df, "source", "text").collect()}
+    assert out["web"].n_docs == 3 and out["web"].total_tokens == 8
+    assert out["web"].n_distinct == 2
+    assert abs(out["web"].exact_dup_frac - (1 - 2 / 3)) < 1e-6
+    assert out["books"].n_docs == 1 and out["books"].exact_dup_frac == 0.0
+    assert abs(out["web"].mean_tokens - 8 / 3) < 1e-5
