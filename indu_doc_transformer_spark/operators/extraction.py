@@ -212,3 +212,88 @@ def partition_metrics(extracted: DataFrame) -> DataFrame:
         ).alias("faults"),
         F.sum(F.when(F.col("page_type").isNull(), 1).otherwise(0)).alias("unclassified"),
     )
+
+
+def extract_from_warc(
+    spark,
+    path: str,
+    page_setups_json: str | None = None,
+    max_concurrent_files: int | None = None,
+) -> DataFrame:
+    """Fused WARC-ingest + extraction: one mapInPandas pass streams
+    each archive's records (sources.warc streaming walker) and runs the
+    extraction kernel on every page IN the same Python worker — the
+    raw html bytes NEVER cross the Arrow/JVM boundary, only the small
+    structured extraction rows do.
+
+    Why: the chained form (read_warc -> extract) ships every decoded
+    page through Arrow twice (worker -> JVM -> worker). Measured at
+    local[32]: ingest-only delivery runs at ~78k docs/s vs ~443k for
+    the bare walker (the ship IS the ingest ceiling), and fusing wins
+    ~8% end-to-end on a realistic 24k-page corpus where extraction
+    compute dominates — more when pages are large relative to kernel
+    cost. Use the chained form when the documents table must be
+    materialized anyway (the warehouse layout); use this when crawl
+    archives feed extraction directly. Parity with the chained form is
+    test-pinned."""
+    import zlib
+
+    from ..sources.warc import _file_record_stream, _file_source, _is_local
+
+    local = _is_local(path)
+    base_kernel = (
+        _extract_batches
+        if page_setups_json is None
+        else make_extract_batches(page_setups_json)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def record_frames():
+            """Adapt the archive stream to the (url, warc_ts, html,
+            lang) frames the extraction kernel consumes, flushing
+            every ~64 MiB of html so memory stays bounded."""
+            flush_bytes = 64 << 20
+            urls, tss, htmls, langs = [], [], [], []
+            pending = 0
+
+            def flush():
+                nonlocal pending
+                out = pd.DataFrame(
+                    {
+                        "url": list(urls),
+                        "warc_ts": pd.to_datetime(
+                            pd.Series(tss, dtype="object"),
+                            utc=True, errors="coerce",
+                        ).dt.tz_localize(None),
+                        "html": list(htmls),
+                        "lang": list(langs),
+                    }
+                )
+                urls.clear(); tss.clear(); htmls.clear(); langs.clear()
+                pending = 0
+                return out
+
+            for pdf in batches:
+                contents = pdf["content"] if "content" in pdf.columns else None
+                for i, p in enumerate(pdf["path"]):
+                    content = None if contents is None else contents.iloc[i]
+                    try:
+                        for rec in _file_record_stream(p, content):
+                            if rec.get("bad"):
+                                continue
+                            urls.append(rec["url"])
+                            tss.append(rec["ts"])
+                            htmls.append(rec["html"])
+                            langs.append(rec["lang"])
+                            pending += len(rec["html"])
+                            if pending >= flush_bytes:
+                                yield flush()
+                    except (OSError, EOFError, zlib.error):
+                        continue  # corrupt archive: keep the valid prefix
+            if urls:
+                yield flush()
+
+        yield from base_kernel(record_frames())
+
+    src = _file_source(spark, path, local, max_concurrent_files)
+    return src.mapInPandas(kernel, schema=EXTRACTION_SCHEMA)

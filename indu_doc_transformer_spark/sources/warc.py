@@ -338,6 +338,25 @@ def _is_local(path: str) -> bool:
     return not sep or scheme in ("file", "local")
 
 
+def _file_source(spark, path, local, max_concurrent_files):
+    """The archive-file task list. In local (path-only) mode the list
+    is ALWAYS repartitioned: binaryFile bin-packs by COMPRESSED listed
+    size (default 128 MiB/partition), but the task cost here is per
+    DECOMPRESSED byte — a 2.5 GB-raw corpus of ~3 MiB .gz files packed
+    into 4 partitions left half of an 8-core box idle (measured
+    eff 0.76 -> see scripts/warc_bench.py). Shuffling path strings is
+    free; content mode keeps Spark's packing (repartitioning would
+    shuffle the compressed bytes) unless the caller caps concurrency."""
+    src = spark.read.format("binaryFile").load(path)
+    if local:
+        n = max_concurrent_files or spark.sparkContext.defaultParallelism * 2
+        return src.select("path").repartition(n)
+    src = src.select("path", "content")
+    if max_concurrent_files:
+        src = src.repartition(max_concurrent_files)
+    return src
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -401,10 +420,7 @@ def read_warc(
         if urls:
             yield flush()
 
-    src = spark.read.format("binaryFile").load(path)
-    src = src.select("path") if local else src.select("path", "content")
-    if max_concurrent_files:
-        src = src.repartition(max_concurrent_files)
+    src = _file_source(spark, path, local, max_concurrent_files)
     return src.mapInPandas(kernel, schema=WARC_SCHEMA)
 
 
@@ -440,8 +456,7 @@ def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
                 rows, columns=["warc_file", "n_records", "n_response", "n_bad"]
             )
 
-    src = spark.read.format("binaryFile").load(path)
-    src = src.select("path") if local else src.select("path", "content")
+    src = _file_source(spark, path, local, None)
     return src.mapInPandas(
         kernel,
         schema="warc_file string, n_records long, n_response long, n_bad long",

@@ -316,3 +316,34 @@ def test_warc_nonlocal_scheme_fails_loudly():
 
     with pytest.raises(RuntimeError, match="non-local path"):
         list(_iter_file_chunks("hdfs://nn/crawl/x.warc.gz"))
+
+
+def test_extract_from_warc_matches_chained_path(spark, tmp_path):
+    """The fused ingest+extract pass (html never crosses Arrow) must
+    produce exactly what read_warc -> extract produces."""
+    from indu_doc_transformer_spark.operators import extraction as ex
+    from indu_doc_transformer_spark.sources import warc as w
+    from indu_doc_transformer_spark.sources.corpus import generate_doc
+
+    recs = []
+    for i in range(30):
+        d = generate_doc(i)
+        recs.append({"url": d["url"], "ts": "2020-01-01T00:00:00Z",
+                     "html": d["html"], "lang": "en"})
+    w.write_warc(recs[:20], str(tmp_path / "a.warc.gz"))
+    w.write_warc(recs[20:], str(tmp_path / "b.warc.gz"))
+
+    def key(df):
+        return sorted(
+            (r.url, r.page_type, r.extracted_text, len(r.rows), len(r.errors))
+            for r in df.select("url", "page_type", "extracted_text",
+                               "rows", "errors").collect()
+        )
+
+    fused = ex.extract_from_warc(spark, str(tmp_path) + "/*.warc.gz")
+    chained = ex.extract(
+        w.read_warc(spark, str(tmp_path) + "/*.warc.gz")
+        .select("url", "warc_ts", "html", "lang")
+    )
+    assert key(fused) == key(chained)
+    assert len(key(fused)) == 30
