@@ -1482,7 +1482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is therefore deliberate. Positions 1-50 carry one check per unique
     operator family: the golden-text parity check, the 10 end-to-end
     finisher oracles, streaming, the relational/temporal layer, text
-    quality, the bucketed dedup/ANN production paths, and the
+    quality, the bucketed dedup/ANN production paths (via the recall
+    gates, which execute BOTH the exact and approximate sides), the
+    round-5 LLM-pipeline operators (span removal, sequence packing,
+    semantic decontam, temperature mixture, corpus report), and the
     formerly-rows-only x-checks — ALL of which now carry full value
     oracles (staged-parquet SQL reproductions for spans / metrics /
     search / tree / lookup, committed goldens for the AML byte stream
@@ -1508,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (oracled)
         "q_stream_sessionize": q_stream_sessionize,
         # relational / temporal operator layer (oracled)
-        "q_pricing_summary": q_pricing_summary,
         "q_top_orders": q_top_orders,
         "q_forward_fill": q_forward_fill,
         "q_sessionize": q_sessionize,
@@ -1518,7 +1520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_link_graph": q_link_graph,
         # text analysis (oracled)
-        "q_token_counts": q_token_counts,
         "q_quality": q_quality,
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_full": q_repetition_full,
@@ -1533,19 +1534,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_neardup_banded": q_simhash_neardup_banded,
         "q_neardup_keep_list": q_neardup_keep_list,
-        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_neardup_recall": q_neardup_recall,
-        # similarity search (oracled)
-        "q_ann_bruteforce": q_ann_bruteforce,
-        "q_ann_ivf": q_ann_ivf,
+        # similarity search (oracled); q_ann_ivf_recall executes BOTH
+        # the brute-force and the IVF paths and value-pins recall@5
+        "q_ann_ivf_recall": q_ann_ivf_recall,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        # round-5 LLM-pipeline operators (oracled at 2 scales)
+        "q_dup_span_removal": q_dup_span_removal,
+        "q_sequence_pack": q_sequence_pack,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q_temperature_mixture": q_temperature_mixture,
+        "q_corpus_report": q_corpus_report,
         # historic x_ names — every one now carries a full value oracle
         # (round-4 sweep: staged-parquet SQL or committed golden)
         "x_spans": x_spans,
         "x_metrics_errors": x_metrics_errors,
         "x_partition_metrics": x_partition_metrics,
         "x_multimodal_features": x_multimodal_features,
-        "x_ann_lsh": x_ann_lsh,
         "x_search_targets": x_search_targets,
         "x_search_connections": x_search_connections,
         "x_aml_export": x_aml_export,
@@ -1555,12 +1560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled queries either superseded by a stronger recorded check
         # (noted inline) or late additions that no longer fit the cap;
         # ALL of them run under scripts/validate_entry.py each round ----
-        "q_ann_ivf_recall": q_ann_ivf_recall,  # IVF recall gate (r5; IVF itself recorded via q_ann_ivf)
-        "q_sequence_pack": q_sequence_pack,  # GPT-style packing (r5; prefix-sum family with q_token_shards)
-        "q_semantic_decontam": q_semantic_decontam,  # embedding decontam (r5; cosine ⊂ recorded ANN checks)
-        "q_dup_span_removal": q_dup_span_removal,  # ExactSubstr-style span cut (r5; gram machinery ⊂ q_decontaminate)
-        "q_temperature_mixture": q_temperature_mixture,  # tau-sampling weights (r5; sampler ⊂ q_stratified_sample)
-        "q_corpus_report": q_corpus_report,  # per-source data card (r5; fp/token exprs ⊂ recorded checks)
+        "q_pricing_summary": q_pricing_summary,  # decimal-exact agg ⊂ q_top_orders (r6 demotion)
+        "q_token_counts": q_token_counts,  # ⊂ q_token_shards (r6 demotion)
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,  # ⊂ q_neardup_recall, which runs the LSH path twice (r6 demotion)
+        "q_ann_bruteforce": q_ann_bruteforce,  # ⊂ q_ann_ivf_recall (computes the exact side) (r6 demotion)
+        "q_ann_ivf": q_ann_ivf,  # ⊂ q_ann_ivf_recall (computes the IVF side) (r6 demotion)
+        "x_ann_lsh": x_ann_lsh,  # ⊂ q_ann_lsh_multiprobe (r6 demotion)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)

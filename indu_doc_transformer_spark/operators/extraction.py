@@ -238,7 +238,12 @@ def extract_from_warc(
     test-pinned."""
     import zlib
 
-    from ..sources.warc import _file_record_stream, _file_source, _is_local
+    from ..sources.warc import (
+        _OPEN_ERRORS,
+        _file_record_stream,
+        _file_source,
+        _is_local,
+    )
 
     local = _is_local(path)
     base_kernel = (
@@ -288,8 +293,14 @@ def extract_from_warc(
                             pending += len(rec["html"])
                             if pending >= flush_bytes:
                                 yield flush()
-                    except (OSError, EOFError, zlib.error):
-                        continue  # corrupt archive: keep the valid prefix
+                    except (OSError, EOFError, zlib.error) as e:
+                        # corrupt archive: keep the valid prefix; but an
+                        # open-time failure (missing/unreadable path) is
+                        # not salvage — fail loudly (ADVICE r5, same
+                        # rule as sources/warc.py read_warc)
+                        if isinstance(e, _OPEN_ERRORS):
+                            raise
+                        continue
             if urls:
                 yield flush()
 

@@ -81,14 +81,25 @@ def read_entity_tables(
     spark: SparkSession, path: str, names: list[str] | None = None
 ) -> Dict[str, DataFrame]:
     """import_data analog: reconstruct the entity-table dict from a
-    parquet export directory (skips names whose table is absent)."""
+    parquet export directory. ONLY genuinely-absent tables are
+    skipped; a present-but-unreadable table (permissions, corrupt
+    footer, schema error) propagates — silently reporting it as
+    'absent' would hide data loss (ADVICE r5)."""
     if names is None:
         from ..pipeline import ENTITY_TABLES as names  # noqa: F811
+    from pyspark.errors import AnalysisException
+
     out: Dict[str, DataFrame] = {}
     for name in names:
         p = os.path.join(path, name)
         try:
             out[name] = spark.read.parquet(p)
-        except Exception:
-            continue
+        except AnalysisException as e:
+            # Spark 4 raises PATH_NOT_FOUND for a missing directory;
+            # any other analysis failure (e.g. unreadable footer,
+            # conflicting schema) is a real error and must surface.
+            klass = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if klass == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+                continue
+            raise
     return out

@@ -54,6 +54,11 @@ WARC_SCHEMA = (
 
 _CHUNK = 1 << 20  # 1 MiB decompressed-output / file-read granularity
 _FLUSH_BYTES = 64 << 20  # flush kernel output every ~64 MiB of html
+# open()-time failures that must NEVER be treated as mid-stream
+# corruption salvage: a listed archive that can't be opened at all is
+# a pipeline error, not a truncated record (ADVICE r5).
+_OPEN_ERRORS = (FileNotFoundError, PermissionError, IsADirectoryError,
+                NotADirectoryError)
 # a Content-Length above this is treated as a malformed record (bad),
 # not buffered: otherwise one adversarial/corrupt length would make
 # the streaming walker accumulate the whole remaining file, voiding
@@ -413,9 +418,16 @@ def read_warc(
                         pending += len(rec["html"])
                         if pending >= _FLUSH_BYTES:
                             yield flush()
-                except (OSError, EOFError, zlib.error):
+                except (OSError, EOFError, zlib.error) as e:
                     # corrupt archive mid-stream: keep the valid prefix,
-                    # never fail the task (warc_file_stats flags the file)
+                    # never fail the task (warc_file_stats flags the
+                    # file). Open-time failures are NOT salvage —
+                    # a listed path that can't be opened (deleted
+                    # between listing and task, URI-escape mismatch,
+                    # permissions) must fail loudly, same rule as the
+                    # non-local-scheme RuntimeError (ADVICE r5).
+                    if isinstance(e, _OPEN_ERRORS):
+                        raise
                     continue
         if urls:
             yield flush()

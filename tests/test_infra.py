@@ -221,6 +221,45 @@ def test_warc_stream_parity_and_salvage(spark, tmp_path):
     assert (st.n_records, st.n_response, st.n_bad) == (1, 1, -1)
 
 
+def test_warc_missing_file_fails_loudly(spark, tmp_path):
+    """A listed archive that can't be OPENED (deleted between listing
+    and task) must fail the task, not silently yield zero rows — only
+    mid-stream corruption is salvage (ADVICE r5). Covers read_warc and
+    the fused extract_from_warc; warc_file_stats keeps its -1 marker
+    for unreadable files by contract."""
+    import gzip
+    import os
+
+    import pytest
+
+    from indu_doc_transformer_spark.operators import extraction as ex
+    from indu_doc_transformer_spark.sources import warc as w
+
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body><p>hello hello hello</p></body></html>")
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://gone/\r\n"
+           b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(raw))
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(raw))
+
+    df = w.read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    edf = ex.extract_from_warc(spark, str(tmp_path) + "/*.warc.gz")
+    # After listing, before tasks: replace the archive with a same-name
+    # directory. The JVM-side stat still succeeds (path-only local
+    # mode never reads content), so the failure reaches the Python
+    # kernel's open() — exactly the path the salvage block used to
+    # swallow. (A plain delete is caught by Spark's own scan first.)
+    os.remove(tmp_path / "b.warc.gz")
+    os.mkdir(tmp_path / "b.warc.gz")
+    with pytest.raises(Exception, match="IsADirectoryError|[Ii]s a directory"):
+        df.collect()
+    with pytest.raises(Exception, match="IsADirectoryError|[Ii]s a directory"):
+        edf.collect()
+
+
 def test_warc_streaming_bounded_memory(tmp_path):
     """Ingest a ~300 MiB (raw) multi-member .warc.gz and assert peak
     RSS growth < 2x the largest record — the O(record) streaming

@@ -279,3 +279,11 @@ def test_exporter_registry(spark, tmp_path):
 
     with pytest.raises(ValueError, match="Unsupported export format"):
         sinks.export_tables(tables, "/x", format="nope")
+
+    # present-but-unreadable table must PROPAGATE, not report 'absent'
+    # (ADVICE r5): a directory exists but holds no readable parquet.
+    corrupt = tmp_path / "pq" / "broken"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        sinks.read_entity_tables(spark, out, names=["broken"])["broken"].collect()
