@@ -93,8 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="disable processing statistics display")
     ap.add_argument("--no-progress", action="store_true",
                     help="disable progress display during processing")
-    ap.add_argument("--export", help="export entity tables under this directory")
-    ap.add_argument("--export-format", choices=["json", "parquet", "aml"],
+    ap.add_argument("--export", help="export entity tables under this "
+                    "directory (for --export-format sqlite: the .db "
+                    "file path, reference db_builder schema)")
+    ap.add_argument("--export-format",
+                    choices=["json", "parquet", "aml", "sqlite"],
                     default="json",
                     help="export format via the exporter registry "
                     "(operators/sinks.py; default: json)")

@@ -77,6 +77,17 @@ register_exporter("json", _export_json)
 register_exporter("aml", _export_aml)
 
 
+def _export_sqlite(tables, path, config=None, documents=None, **opts):
+    # lazy import: sqlite_sink imports register_exporter from here
+    from .sqlite_sink import export_sqlite
+
+    kw = {} if config is None else {"config": config}
+    export_sqlite(tables, path, documents=documents, **kw)
+
+
+register_exporter("sqlite", _export_sqlite)
+
+
 def read_entity_tables(
     spark: SparkSession, path: str, names: list[str] | None = None
 ) -> Dict[str, DataFrame]:

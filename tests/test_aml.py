@@ -251,3 +251,12 @@ def test_distributed_fragment_write_and_stitch(spark, fragments, tmp_path):
 
     stitched = aml.stitch_aml_file(spark, out)
     assert stitched == aml.aml_file_xml(fragments)
+
+    # streamed-to-file form: same bytes, returned md5 matches, and the
+    # string convenience is just a StringIO sink over the same core
+    import hashlib
+
+    dst = tmp_path / "export.aml"
+    digest = aml.stitch_aml_to(spark, out, str(dst))
+    assert dst.read_text(encoding="utf-8") == stitched
+    assert digest == hashlib.md5(stitched.encode("utf-8")).hexdigest()

@@ -1186,3 +1186,33 @@ def test_corpus_report_planted(spark):
     assert abs(out["web"].exact_dup_frac - (1 - 2 / 3)) < 1e-6
     assert out["books"].n_docs == 1 and out["books"].exact_dup_frac == 0.0
     assert abs(out["web"].mean_tokens - 8 / 3) < 1e-5
+
+
+def test_corpus_report_approx_within_rsd(spark):
+    """approx=True swaps countDistinct for an HLL sketch: the mapper
+    emits one fixed-size partial per source (the 100-TB data-card
+    mode). Must agree with exact within ~3x the 5% default rsd, and
+    the plan must actually use approx_count_distinct (no (source,_fp)
+    expand shuffle)."""
+    from indu_doc_transformer_spark.operators import textstats as ts2
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 3 == 0, "web").otherwise("books").alias("source"),
+        # ~50% duplicate fingerprints per source
+        F.concat(F.lit("doc "), (F.col("id") % 1000).cast("string")).alias("text"),
+    )
+    exact = {r.source: r for r in ts2.corpus_report(df, "source", "text").collect()}
+    approx = {
+        r.source: r
+        for r in ts2.corpus_report(df, "source", "text", approx=True).collect()
+    }
+    for s in exact:
+        assert approx[s].n_docs == exact[s].n_docs  # counts stay exact
+        assert approx[s].total_tokens == exact[s].total_tokens
+        rel = abs(approx[s].n_distinct - exact[s].n_distinct) / exact[s].n_distinct
+        assert rel <= 0.15, (s, approx[s].n_distinct, exact[s].n_distinct)
+    plan = ts2.corpus_report(df, "source", "text", approx=True)._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" in plan
+    assert "approx_count_distinct" not in ts2.corpus_report(
+        df, "source", "text"
+    )._jdf.queryExecution().optimizedPlan().toString()
