@@ -9,11 +9,14 @@ surface reads archive files through ``binaryFile`` + ``mapInPandas``.
 
 Scale design (the honest version): a ``.warc.gz`` is a concatenation
 of per-record gzip members, which is NOT seekable mid-file without the
-companion index, so the parallel unit is the FILE — exactly how
-Common Crawl ships data (~1 GiB x tens of thousands of files per
-crawl, ample parallelism for any cluster). Per-record splitting would
-need a custom input format plus the .warc.gz record index; with files
-this shape it buys nothing.
+companion index, so the default parallel unit is the FILE — exactly
+how Common Crawl ships data (~1 GiB x tens of thousands of files per
+crawl, ample parallelism for any cluster). For the pathological case
+(one multi-hundred-GiB archive that would serialize into a single
+task), ``read_warc_indexed`` accepts the CDX companion index Common
+Crawl publishes (``parse_cdxj``) and splits record RANGES across
+tasks — optional by design; without an index the per-file unit
+stands.
 
 Memory design: nothing in this module ever materializes a whole
 decompressed archive. Decompression is member-wise streamed through
@@ -291,13 +294,13 @@ def _iter_raw_chunks(
             yield piece
 
 
-def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
-    """Bounded-size reads of a local file; accepts 'file:' URIs as
-    produced by the binaryFile source. A non-local scheme (hdfs://,
-    s3a://, ... — possible when a scheme-less input resolved through a
-    remote defaultFS) raises RuntimeError, which the ingest kernels do
-    NOT swallow: better a loud task failure than silently returning
-    zero rows for every archive."""
+def _local_fs_path(path: str) -> str:
+    """Normalize a 'file:'/'local:' URI (as produced by binaryFile) to
+    a plain filesystem path. A non-local scheme (hdfs://, s3a://, ... —
+    possible when a scheme-less input resolved through a remote
+    defaultFS) raises RuntimeError, which the ingest kernels do NOT
+    swallow: better a loud task failure than silently returning zero
+    rows for every archive."""
     local = path
     scheme, sep, _ = local.partition(":")
     if sep and scheme not in ("file", "local"):
@@ -311,7 +314,13 @@ def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
         local = local.partition(":")[2]
         while local.startswith("//"):
             local = local[1:]
-    with open(local, "rb") as f:
+    return local
+
+
+def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
+    """Bounded-size reads of a local file (see _local_fs_path for the
+    scheme rule)."""
+    with open(_local_fs_path(path), "rb") as f:
         while True:
             piece = f.read(chunk_size)
             if not piece:
@@ -475,12 +484,17 @@ def warc_file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_warc(records: list[dict], path: str, per_record_gzip: bool = True) -> None:
+def write_warc(
+    records: list[dict], path: str, per_record_gzip: bool = True
+) -> list[dict]:
     """Serialize (url, ts, html[, lang]) dicts as a WARC/1.0 file —
     per-record gzip members when ``per_record_gzip`` (the .warc.gz
     layout), plain otherwise. Used by tests and as the export analog
-    of the reader; deterministic given its input."""
+    of the reader; deterministic given its input. Returns the member
+    index (one dict per record: url, offset, length of the compressed
+    member) — the CDX companion a .warc.gz writer knows for free."""
     out = io.BytesIO()
+    index: list[dict] = []
     for r in records:
         http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
         if r.get("lang"):
@@ -495,6 +509,163 @@ def write_warc(records: list[dict], path: str, per_record_gzip: bool = True) -> 
             b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
         )
         rec = head + block + b"\r\n\r\n"
-        out.write(gzip.compress(rec) if per_record_gzip else rec)
+        member = gzip.compress(rec) if per_record_gzip else rec
+        index.append(
+            {"url": r["url"], "offset": out.tell(), "length": len(member)}
+        )
+        out.write(member)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+    return index
+
+
+# ---------------------------------------------------------------------------
+# index-driven record-range splitting (the giant-archive escape hatch)
+# ---------------------------------------------------------------------------
+
+def parse_cdxj(spark: SparkSession, index_path: str) -> DataFrame:
+    """CDX(J) companion index -> (warc_file, offset, length).
+
+    Common Crawl publishes one CDXJ line per record:
+    ``<urlkey> <timestamp> {json}`` where the json carries
+    ``filename`` / ``offset`` / ``length`` (the compressed byte range
+    of that record's gzip member — offset/length are JSON *strings* in
+    the published format). Parsed natively (substr to the first '{' +
+    from_json), no Python in the path; lines without the three fields
+    are dropped."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(index_path)
+    j = F.from_json(
+        F.expr("substr(value, instr(value, '{'))"),
+        "filename string, offset string, length string",
+    )
+    return (
+        raw.withColumn("_j", j)
+        .select(
+            F.col("_j.filename").alias("warc_file"),
+            F.col("_j.offset").cast("long").alias("offset"),
+            F.col("_j.length").cast("long").alias("length"),
+        )
+        .where(
+            F.col("warc_file").isNotNull()
+            & F.col("offset").isNotNull()
+            & F.col("length").isNotNull()
+        )
+    )
+
+
+def read_warc_indexed(
+    spark: SparkSession,
+    index: DataFrame,
+    warc_root: str | None = None,
+    records_per_split: int = 10_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Record-range-parallel WARC ingest driven by a CDX-style index
+    (``parse_cdxj`` or any DataFrame with warc_file/offset/length).
+
+    Per-FILE parallelism (read_warc) is the honest unit for 1 GiB
+    Common-Crawl shards, but ONE pathological multi-hundred-GiB
+    archive would serialize into a single task. Because every record
+    is its own gzip member, the companion index makes records
+    independently seekable: this reader groups index rows into splits
+    of ``records_per_split`` records per file (a per-file window over
+    the INDEX — metadata rows, not content), shuffles on
+    (warc_file, split), and each task seeks/reads/gunzips only its
+    members. Peak task memory stays O(largest member). The exchange
+    width defaults to 2x defaultParallelism (``num_partitions``
+    overrides) — see the inline note on why adaptive sizing must not
+    decide it. Optional by design: without an index, read_warc's
+    per-file unit stands.
+
+    Local-filesystem paths only (seek needs a posix handle); a remote
+    scheme fails loudly per the _local_fs_path rule. ``warc_root``
+    prefixes relative index filenames (Common Crawl publishes paths
+    relative to the bucket root). Corrupt members are skipped
+    (mid-stream salvage rule); open failures raise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx = index.select("warc_file", "offset", "length")
+    if warc_root is not None:
+        root = warc_root.rstrip("/") + "/"
+        idx = idx.withColumn("warc_file", F.concat(F.lit(root), "warc_file"))
+    w = Window.partitionBy("warc_file").orderBy("offset")
+    idx = idx.withColumn(
+        "split", ((F.row_number().over(w) - F.lit(1)) / records_per_split).cast("long")
+    )
+    # the exchange width MUST be explicit: the shuffle carries tiny
+    # index METADATA (~50 B/record) while the task cost is the
+    # downstream seek+gunzip per DECOMPRESSED byte — AQE's size-based
+    # coalescing would judge a 300-GiB archive's index "one small
+    # partition" and serialize the whole decompression (measured: 1200
+    # records coalesced to 1 task). Same class of fix as read_warc's
+    # path-list repartition against binaryFile's compressed-size
+    # bin-packing.
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    idx = idx.repartition(
+        n, F.col("warc_file"), F.col("split")
+    ).sortWithinPartitions("warc_file", "offset")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        urls, tss, htmls, langs, files = [], [], [], [], []
+        pending = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal pending
+            out = pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": pd.to_datetime(
+                        pd.Series(tss, dtype="object"), utc=True, errors="coerce"
+                    ).dt.tz_localize(None),
+                    "html": list(htmls),
+                    "lang": langs,
+                    "warc_file": files,
+                }
+            )
+            urls.clear(); tss.clear(); htmls.clear(); langs.clear(); files.clear()
+            pending = 0
+            return out
+
+        cur_path: str | None = None
+        f = None
+        try:
+            for pdf in batches:
+                for p, off, ln in zip(
+                    pdf["warc_file"], pdf["offset"], pdf["length"]
+                ):
+                    if p != cur_path:
+                        if f is not None:
+                            f.close()
+                        f = open(_local_fs_path(p), "rb")  # open errors raise
+                        cur_path = p
+                    f.seek(int(off))
+                    member = f.read(int(ln))
+                    try:
+                        for rec in iter_warc_stream(_iter_raw_chunks([member])):
+                            if rec.get("bad"):
+                                continue
+                            urls.append(rec["url"])
+                            tss.append(rec["ts"])
+                            htmls.append(rec["html"])
+                            langs.append(rec["lang"])
+                            files.append(p)
+                            pending += len(rec["html"])
+                            if pending >= _FLUSH_BYTES:
+                                yield flush()
+                    except (OSError, EOFError, zlib.error) as e:
+                        # corrupt member (BadGzipFile is an OSError
+                        # subclass): skip it, keep the rest; open-time
+                        # failures stay loud like everywhere else
+                        if isinstance(e, _OPEN_ERRORS):
+                            raise
+                        continue
+            if urls:
+                yield flush()
+        finally:
+            if f is not None:
+                f.close()
+
+    return idx.mapInPandas(kernel, schema=WARC_SCHEMA)

@@ -260,6 +260,76 @@ def test_warc_missing_file_fails_loudly(spark, tmp_path):
         edf.collect()
 
 
+def test_warc_indexed_split_parity(spark, tmp_path):
+    """The CDX-index escape hatch: read_warc_indexed over record-range
+    splits must equal the unsplit per-file parse; splits actually land
+    in different tasks; a corrupt member is skipped without losing its
+    neighbors; parse_cdxj reads the published CDXJ line format."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from indu_doc_transformer_spark.sources import warc as w
+
+    recs = [
+        {"url": f"http://h{i % 3}.example/p{i}",
+         "ts": f"2020-01-{i + 1:02d}T00:00:00Z",
+         "html": (f"<html><body>doc {i} " + "x" * (50 + i * 7)
+                  + "</body></html>").encode(),
+         "lang": "en" if i % 2 == 0 else None}
+        for i in range(9)
+    ]
+    arc = tmp_path / "big.warc.gz"
+    index = w.write_warc(recs, str(arc))
+    assert [e["url"] for e in index] == [r["url"] for r in recs]
+
+    # CDXJ companion file, exactly the published shape (string offsets)
+    cdxj = tmp_path / "big.cdxj"
+    cdxj.write_text(
+        "\n".join(
+            f"example,h{i % 3})/p{i} 2020010{(i % 9) + 1}000000 "
+            + json.dumps({"url": e["url"], "filename": "big.warc.gz",
+                          "offset": str(e["offset"]),
+                          "length": str(e["length"])})
+            for i, e in enumerate(index)
+        )
+        + "\nmalformed line without json\n"
+    )
+    idx_df = w.parse_cdxj(spark, str(cdxj))
+    assert idx_df.count() == 9
+    got_idx = {(r.offset, r.length) for r in idx_df.collect()}
+    assert got_idx == {(e["offset"], e["length"]) for e in index}
+
+    def key(df):
+        return {
+            (r.url, r.warc_ts, bytes(r.html), r.lang) for r in df.collect()
+        }
+
+    whole = key(w.read_warc(spark, str(arc)))
+    assert len(whole) == 9
+    split = w.read_warc_indexed(
+        spark, idx_df, warc_root=str(tmp_path), records_per_split=2,
+        num_partitions=5,
+    )
+    assert key(split) == whole
+    # ceil(9/2)=5 splits pinned over 5 partitions: multiple tasks run
+    # (without num_partitions AQE rightly coalesces this tiny shuffle)
+    npart = split.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert npart > 1
+
+    # corrupt ONE member in place: its record is skipped, the rest live
+    blob = bytearray(arc.read_bytes())
+    mid = index[4]
+    for i in range(mid["offset"] + 10, mid["offset"] + mid["length"]):
+        blob[i] ^= 0xFF
+    arc.write_bytes(bytes(blob))
+    salvaged = key(
+        w.read_warc_indexed(spark, idx_df, warc_root=str(tmp_path),
+                            records_per_split=2)
+    )
+    assert salvaged == {t for t in whole if t[0] != recs[4]["url"]}
+
+
 def test_warc_streaming_bounded_memory(tmp_path):
     """Ingest a ~300 MiB (raw) multi-member .warc.gz and assert peak
     RSS growth < 2x the largest record — the O(record) streaming
