@@ -308,3 +308,65 @@ def extract_from_warc(
 
     src = _file_source(spark, path, local, max_concurrent_files)
     return src.mapInPandas(kernel, schema=EXTRACTION_SCHEMA)
+
+
+def extract_from_warc_indexed(
+    spark,
+    index: DataFrame,
+    warc_root: str | None = None,
+    records_per_split: int = 10_000,
+    num_partitions: int | None = None,
+    page_setups_json: str | None = None,
+) -> DataFrame:
+    """Fused CDX-indexed ingest + extraction: the giant-archive escape
+    hatch (sources/warc.read_warc_indexed task layout) composed with
+    the fused-kernel rule of extract_from_warc — record ranges of ONE
+    pathological archive split across tasks, html never crossing the
+    Arrow/JVM boundary. Parity with read_warc_indexed -> extract is
+    test-pinned."""
+    from ..sources.warc import _iter_index_records, _split_index
+
+    base_kernel = (
+        _extract_batches
+        if page_setups_json is None
+        else make_extract_batches(page_setups_json)
+    )
+    idx = _split_index(spark, index, warc_root, records_per_split, num_partitions)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def record_frames():
+            flush_bytes = 64 << 20
+            urls, tss, htmls, langs = [], [], [], []
+            pending = 0
+
+            def flush():
+                nonlocal pending
+                out = pd.DataFrame(
+                    {
+                        "url": list(urls),
+                        "warc_ts": pd.to_datetime(
+                            pd.Series(tss, dtype="object"),
+                            utc=True, errors="coerce",
+                        ).dt.tz_localize(None),
+                        "html": list(htmls),
+                        "lang": list(langs),
+                    }
+                )
+                urls.clear(); tss.clear(); htmls.clear(); langs.clear()
+                pending = 0
+                return out
+
+            for _, rec in _iter_index_records(batches):
+                urls.append(rec["url"])
+                tss.append(rec["ts"])
+                htmls.append(rec["html"])
+                langs.append(rec["lang"])
+                pending += len(rec["html"])
+                if pending >= flush_bytes:
+                    yield flush()
+            if urls:
+                yield flush()
+
+        yield from base_kernel(record_frames())
+
+    return idx.mapInPandas(kernel, schema=EXTRACTION_SCHEMA)

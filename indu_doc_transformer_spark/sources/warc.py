@@ -584,29 +584,9 @@ def read_warc_indexed(
     prefixes relative index filenames (Common Crawl publishes paths
     relative to the bucket root). Corrupt members are skipped
     (mid-stream salvage rule); open failures raise."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    idx = index.select("warc_file", "offset", "length")
-    if warc_root is not None:
-        root = warc_root.rstrip("/") + "/"
-        idx = idx.withColumn("warc_file", F.concat(F.lit(root), "warc_file"))
-    w = Window.partitionBy("warc_file").orderBy("offset")
-    idx = idx.withColumn(
-        "split", ((F.row_number().over(w) - F.lit(1)) / records_per_split).cast("long")
+    idx = _split_index(
+        spark, index, warc_root, records_per_split, num_partitions
     )
-    # the exchange width MUST be explicit: the shuffle carries tiny
-    # index METADATA (~50 B/record) while the task cost is the
-    # downstream seek+gunzip per DECOMPRESSED byte — AQE's size-based
-    # coalescing would judge a 300-GiB archive's index "one small
-    # partition" and serialize the whole decompression (measured: 1200
-    # records coalesced to 1 task). Same class of fix as read_warc's
-    # path-list repartition against binaryFile's compressed-size
-    # bin-packing.
-    n = num_partitions or spark.sparkContext.defaultParallelism * 2
-    idx = idx.repartition(
-        n, F.col("warc_file"), F.col("split")
-    ).sortWithinPartitions("warc_file", "offset")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         urls, tss, htmls, langs, files = [], [], [], [], []
@@ -629,43 +609,77 @@ def read_warc_indexed(
             pending = 0
             return out
 
-        cur_path: str | None = None
-        f = None
-        try:
-            for pdf in batches:
-                for p, off, ln in zip(
-                    pdf["warc_file"], pdf["offset"], pdf["length"]
-                ):
-                    if p != cur_path:
-                        if f is not None:
-                            f.close()
-                        f = open(_local_fs_path(p), "rb")  # open errors raise
-                        cur_path = p
-                    f.seek(int(off))
-                    member = f.read(int(ln))
-                    try:
-                        for rec in iter_warc_stream(_iter_raw_chunks([member])):
-                            if rec.get("bad"):
-                                continue
-                            urls.append(rec["url"])
-                            tss.append(rec["ts"])
-                            htmls.append(rec["html"])
-                            langs.append(rec["lang"])
-                            files.append(p)
-                            pending += len(rec["html"])
-                            if pending >= _FLUSH_BYTES:
-                                yield flush()
-                    except (OSError, EOFError, zlib.error) as e:
-                        # corrupt member (BadGzipFile is an OSError
-                        # subclass): skip it, keep the rest; open-time
-                        # failures stay loud like everywhere else
-                        if isinstance(e, _OPEN_ERRORS):
-                            raise
-                        continue
-            if urls:
+        for p, rec in _iter_index_records(batches):
+            urls.append(rec["url"])
+            tss.append(rec["ts"])
+            htmls.append(rec["html"])
+            langs.append(rec["lang"])
+            files.append(p)
+            pending += len(rec["html"])
+            if pending >= _FLUSH_BYTES:
                 yield flush()
-        finally:
-            if f is not None:
-                f.close()
+        if urls:
+            yield flush()
 
     return idx.mapInPandas(kernel, schema=WARC_SCHEMA)
+
+
+def _split_index(
+    spark, index, warc_root, records_per_split, num_partitions
+) -> DataFrame:
+    """Plan the (warc_file, split) task layout over the index rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx = index.select("warc_file", "offset", "length")
+    if warc_root is not None:
+        root = warc_root.rstrip("/") + "/"
+        idx = idx.withColumn("warc_file", F.concat(F.lit(root), "warc_file"))
+    w = Window.partitionBy("warc_file").orderBy("offset")
+    idx = idx.withColumn(
+        "split", ((F.row_number().over(w) - F.lit(1)) / records_per_split).cast("long")
+    )
+    # the exchange width MUST be explicit: the shuffle carries tiny
+    # index METADATA (~50 B/record) while the task cost is the
+    # downstream seek+gunzip per DECOMPRESSED byte — AQE's size-based
+    # coalescing would judge a 300-GiB archive's index "one small
+    # partition" and serialize the whole decompression (measured: 1200
+    # records coalesced to 1 task). Same class of fix as read_warc's
+    # path-list repartition against binaryFile's compressed-size
+    # bin-packing.
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    return idx.repartition(
+        n, F.col("warc_file"), F.col("split")
+    ).sortWithinPartitions("warc_file", "offset")
+
+
+def _iter_index_records(batches: Iterator[pd.DataFrame]):
+    """Walk (path, record) pairs for a task's index rows: one open
+    handle per contiguous file run, seek+read+gunzip per member.
+    Corrupt members are skipped (mid-stream salvage rule; BadGzipFile
+    is an OSError subclass); open-time failures raise loudly. Shared
+    by read_warc_indexed and extraction.extract_from_warc_indexed."""
+    cur_path: str | None = None
+    f = None
+    try:
+        for pdf in batches:
+            for p, off, ln in zip(pdf["warc_file"], pdf["offset"], pdf["length"]):
+                if p != cur_path:
+                    if f is not None:
+                        f.close()
+                    f = open(_local_fs_path(p), "rb")  # open errors raise
+                    cur_path = p
+                f.seek(int(off))
+                member = f.read(int(ln))
+                try:
+                    for rec in iter_warc_stream(_iter_raw_chunks([member])):
+                        if rec.get("bad"):
+                            continue
+                        yield p, rec
+                except (OSError, EOFError, zlib.error) as e:
+                    if isinstance(e, _OPEN_ERRORS):
+                        raise
+                    continue
+    finally:
+        if f is not None:
+            f.close()

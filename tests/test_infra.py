@@ -456,3 +456,17 @@ def test_extract_from_warc_matches_chained_path(spark, tmp_path):
     )
     assert key(fused) == key(chained)
     assert len(key(fused)) == 30
+
+    # the fused INDEXED path (giant-archive escape hatch composed with
+    # the fused-kernel rule) must produce the same set again
+    idx_a = w.write_warc(recs[:20], str(tmp_path / "a.warc.gz"))
+    idx_rows = [("a.warc.gz", e["offset"], e["length"]) for e in idx_a]
+    idx_b = w.write_warc(recs[20:], str(tmp_path / "b.warc.gz"))
+    idx_rows += [("b.warc.gz", e["offset"], e["length"]) for e in idx_b]
+    idx = spark.createDataFrame(
+        idx_rows, "warc_file string, offset long, length long"
+    )
+    fused_idx = ex.extract_from_warc_indexed(
+        spark, idx, warc_root=str(tmp_path), records_per_split=7
+    )
+    assert key(fused_idx) == key(chained)
