@@ -196,8 +196,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.export:
             from .operators.sinks import export_tables
 
+            # documents= feeds real blobs to sinks that embed them
+            # (sqlite documentmodel.file); other formats ignore it
             export_tables(tables, args.export, format=args.export_format,
-                          config=config)
+                          config=config, documents=docs)
             print(f"Data exported to: {args.export}")
         print("Processing completed successfully!")
         return 0

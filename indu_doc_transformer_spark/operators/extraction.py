@@ -238,12 +238,7 @@ def extract_from_warc(
     test-pinned."""
     import zlib
 
-    from ..sources.warc import (
-        _OPEN_ERRORS,
-        _file_record_stream,
-        _file_source,
-        _is_local,
-    )
+    from ..sources.warc import _file_record_stream, _file_source, _is_local
 
     local = _is_local(path)
     base_kernel = (
@@ -282,8 +277,12 @@ def extract_from_warc(
                 contents = pdf["content"] if "content" in pdf.columns else None
                 for i, p in enumerate(pdf["path"]):
                     content = None if contents is None else contents.iloc[i]
+                    # open OUTSIDE the salvage try: an unopenable
+                    # archive fails the task loudly whatever the error
+                    # class (ADVICE r5; same rule as read_warc)
+                    stream = _file_record_stream(p, content)
                     try:
-                        for rec in _file_record_stream(p, content):
+                        for rec in stream:
                             if rec.get("bad"):
                                 continue
                             urls.append(rec["url"])
@@ -293,14 +292,8 @@ def extract_from_warc(
                             pending += len(rec["html"])
                             if pending >= flush_bytes:
                                 yield flush()
-                    except (OSError, EOFError, zlib.error) as e:
-                        # corrupt archive: keep the valid prefix; but an
-                        # open-time failure (missing/unreadable path) is
-                        # not salvage — fail loudly (ADVICE r5, same
-                        # rule as sources/warc.py read_warc)
-                        if isinstance(e, _OPEN_ERRORS):
-                            raise
-                        continue
+                    except (OSError, EOFError, zlib.error):
+                        continue  # corrupt archive: keep the valid prefix
             if urls:
                 yield flush()
 

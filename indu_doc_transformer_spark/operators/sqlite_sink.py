@@ -56,6 +56,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_ASPECTS, AspectsConfig
+# the ONE canonical value_json serializer (compact, sorted keys):
+# load_sqlite re-canonicalizes with it so round-trips can't drift from
+# the God-factory oracle's serialization
+from ..kernels.assemble import _jdump
 
 # engine enum NAME (parquet) <-> reference enum VALUE (EnumField.db_value,
 # attributes.py:637-647)
@@ -68,10 +72,16 @@ _ATTR_TYPE_TO_DB = {
 _ATTR_TYPE_FROM_DB = {v: k for k, v in _ATTR_TYPE_TO_DB.items()}
 
 # CREATE statements mirroring peewee's DDL for the reference models
-# (db.py:84-160), in save_to_db's creation order (db.py:176-189).
-# peewee emits one index per ForeignKeyField; DeferredForeignKey
-# columns (LinkModel.src_pin/dest_pin, db.py:110-111) become plain
-# columns without a constraint, exactly as peewee leaves deferred FKs.
+# (db.py:84-160), in save_to_db's creation order (db.py:176-189):
+# peewee-default table/column names, implicit integer ids, one index
+# per ForeignKeyField, no inline constraint for deferred FKs. The DDL
+# TEXT is a best-effort reproduction from peewee's public source —
+# peewee is not installed in this environment, so it is not
+# byte-verified against a real peewee-written file; that is fine for
+# interoperability because peewee consumers (load_from_db) bind
+# columns BY NAME, never by DDL text or position. The
+# test_ddl_matches_reference_schema golden pins THIS sink's output
+# stability across rounds, not peewee's bytes.
 REFERENCE_DDL: tuple[str, ...] = (
     'CREATE TABLE "xtargetmodel" ("guid" VARCHAR(255) NOT NULL PRIMARY KEY, '
     '"tag" VARCHAR(512) NOT NULL, "target_type" VARCHAR(255) NOT NULL)',
@@ -87,12 +97,20 @@ REFERENCE_DDL: tuple[str, ...] = (
     'FOREIGN KEY ("parentLink_id") REFERENCES "linkmodel" ("guid"))',
     'CREATE INDEX "pinmodel_childPin_id" ON "pinmodel" ("childPin_id")',
     'CREATE INDEX "pinmodel_parentLink_id" ON "pinmodel" ("parentLink_id")',
+    # src_pin/dest_pin are DeferredForeignKeys in the reference
+    # (db.py:110-111): peewee resolves them when PinModel is defined
+    # (same module, before create_tables), appending the resolved
+    # columns AFTER the model's declared fields and creating their
+    # FK indexes, but omitting the inline FOREIGN KEY constraint for
+    # deferred fields — hence the column order and index set here.
     'CREATE TABLE "linkmodel" ("guid" VARCHAR(255) NOT NULL PRIMARY KEY, '
     '"name" VARCHAR(255) NOT NULL, "parent_id" VARCHAR(255) NOT NULL, '
-    '"src_pin_id" VARCHAR(255), "dest_pin_id" VARCHAR(255), '
     '"src_pin_name" VARCHAR(255), "dest_pin_name" VARCHAR(255), '
+    '"src_pin_id" VARCHAR(255), "dest_pin_id" VARCHAR(255), '
     'FOREIGN KEY ("parent_id") REFERENCES "connectionmodel" ("guid"))',
     'CREATE INDEX "linkmodel_parent_id" ON "linkmodel" ("parent_id")',
+    'CREATE INDEX "linkmodel_src_pin_id" ON "linkmodel" ("src_pin_id")',
+    'CREATE INDEX "linkmodel_dest_pin_id" ON "linkmodel" ("dest_pin_id")',
     'CREATE TABLE "connectionmodel" ("guid" VARCHAR(255) NOT NULL PRIMARY KEY, '
     '"src_id" VARCHAR(255), "dst_id" VARCHAR(255), "through_id" VARCHAR(255), '
     'FOREIGN KEY ("src_id") REFERENCES "xtargetmodel" ("guid"), '
@@ -136,12 +154,6 @@ REFERENCE_DDL: tuple[str, ...] = (
 )
 
 _BATCH = 500  # executemany chunk (mirrors the reference's batch_insert)
-
-
-def _jdump(obj) -> str:
-    # must match kernels/assemble._jdump so value_json round-trips
-    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False,
-                      sort_keys=True)
 
 
 def _stream(cur: sqlite3.Cursor, sql: str, rows: Iterable[tuple]) -> None:
@@ -231,11 +243,15 @@ def export_sqlite(
         )
     else:
         docs_df = docs_df.withColumn("blob", F.lit(None).cast("binary"))
+    # persist the id-assignment frames: each feeds several of the
+    # insert jobs below, and re-running a global row_number window per
+    # job would repeat the most serialized part of the export
+    docs_df = docs_df.persist()
     pages_df = (
         lineage.select("url", "page_no").distinct()
         .withColumn("page_id", F.row_number().over(Window.orderBy("url", "page_no")))
         .join(docs_df.select("url", "doc_id"), "url")
-    )
+    ).persist()
     lineage_ids = lineage.join(
         pages_df.select("url", "page_no", "page_id"), ["url", "page_no"]
     )
@@ -371,6 +387,8 @@ def export_sqlite(
         con.commit()
     finally:
         con.close()
+        docs_df.unpersist()
+        pages_df.unpersist()
     return db_file
 
 

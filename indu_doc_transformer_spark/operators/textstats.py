@@ -742,6 +742,10 @@ def corpus_report(
     nd = (
         F.approx_count_distinct("_fp") if approx else F.countDistinct("_fp")
     ).cast("long")
+    if approx:
+        # HLL can overestimate past n_docs (rsd ~5%); a data card must
+        # never report n_distinct > n_docs or a negative dup fraction
+        nd = F.least(nd, n)
     return base.groupBy("source").agg(
         n.alias("n_docs"),
         F.sum("_n").cast("long").alias("total_tokens"),

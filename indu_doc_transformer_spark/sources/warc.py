@@ -57,11 +57,6 @@ WARC_SCHEMA = (
 
 _CHUNK = 1 << 20  # 1 MiB decompressed-output / file-read granularity
 _FLUSH_BYTES = 64 << 20  # flush kernel output every ~64 MiB of html
-# open()-time failures that must NEVER be treated as mid-stream
-# corruption salvage: a listed archive that can't be opened at all is
-# a pipeline error, not a truncated record (ADVICE r5).
-_OPEN_ERRORS = (FileNotFoundError, PermissionError, IsADirectoryError,
-                NotADirectoryError)
 # a Content-Length above this is treated as a malformed record (bad),
 # not buffered: otherwise one adversarial/corrupt length would make
 # the streaming walker accumulate the whole remaining file, voiding
@@ -319,13 +314,23 @@ def _local_fs_path(path: str) -> str:
 
 def _iter_file_chunks(path: str, chunk_size: int = _CHUNK) -> Iterator[bytes]:
     """Bounded-size reads of a local file (see _local_fs_path for the
-    scheme rule)."""
-    with open(_local_fs_path(path), "rb") as f:
-        while True:
-            piece = f.read(chunk_size)
-            if not piece:
-                return
-            yield piece
+    scheme rule). The open is EAGER — it happens at call time, not at
+    first next() — so that open()-time failures of ANY class (missing
+    path, permissions, EMFILE fd exhaustion, ELOOP, ...) raise at the
+    call site, OUTSIDE the kernels' mid-stream salvage try-blocks.
+    Enumerating 'open-error' exception classes proved incomplete
+    (round-6 review): hoisting the open is the structural fix."""
+    f = open(_local_fs_path(path), "rb")
+
+    def chunks() -> Iterator[bytes]:
+        with f:
+            while True:
+                piece = f.read(chunk_size)
+                if not piece:
+                    return
+                yield piece
+
+    return chunks()
 
 
 def _bytes_chunks(content: bytes, chunk_size: int = _CHUNK) -> Iterator[bytes]:
@@ -338,7 +343,9 @@ def _file_record_stream(path: str, content=None, emit_skips: bool = False):
     """Record iterator for one archive: streamed from disk when the
     compressed bytes weren't shipped (local mode), else streamed over
     the in-memory compressed bytes. Either way the DECOMPRESSED side
-    is never materialized whole."""
+    is never materialized whole. Opening the archive happens HERE
+    (eagerly, via _iter_file_chunks) — call this OUTSIDE any salvage
+    try-block so unopenable archives fail tasks loudly."""
     raw = (
         _iter_file_chunks(path)
         if content is None
@@ -415,8 +422,15 @@ def read_warc(
             contents = pdf["content"] if "content" in pdf.columns else None
             for i, p in enumerate(pdf["path"]):
                 content = None if contents is None else contents.iloc[i]
+                # the open happens HERE, outside the salvage try: a
+                # listed path that can't be opened (deleted between
+                # listing and task, permissions, fd exhaustion, ...)
+                # fails the task loudly, whatever the error class —
+                # same rule as the non-local-scheme RuntimeError
+                # (ADVICE r5; structural form from the r6 review)
+                stream = _file_record_stream(p, content)
                 try:
-                    for rec in _file_record_stream(p, content):
+                    for rec in stream:
                         if rec.get("bad"):
                             continue
                         urls.append(rec["url"])
@@ -427,16 +441,10 @@ def read_warc(
                         pending += len(rec["html"])
                         if pending >= _FLUSH_BYTES:
                             yield flush()
-                except (OSError, EOFError, zlib.error) as e:
-                    # corrupt archive mid-stream: keep the valid prefix,
-                    # never fail the task (warc_file_stats flags the
-                    # file). Open-time failures are NOT salvage —
-                    # a listed path that can't be opened (deleted
-                    # between listing and task, URI-escape mismatch,
-                    # permissions) must fail loudly, same rule as the
-                    # non-local-scheme RuntimeError (ADVICE r5).
-                    if isinstance(e, _OPEN_ERRORS):
-                        raise
+                except (OSError, EOFError, zlib.error):
+                    # corrupt archive mid-stream: keep the valid
+                    # prefix, never fail the task (warc_file_stats
+                    # flags the file)
                     continue
         if urls:
             yield flush()
@@ -676,9 +684,11 @@ def _iter_index_records(batches: Iterator[pd.DataFrame]):
                         if rec.get("bad"):
                             continue
                         yield p, rec
-                except (OSError, EOFError, zlib.error) as e:
-                    if isinstance(e, _OPEN_ERRORS):
-                        raise
+                except (OSError, EOFError, zlib.error):
+                    # corrupt member (BadGzipFile is an OSError
+                    # subclass): skip it, keep the rest. The open
+                    # above is outside this try, so unopenable
+                    # archives still fail loudly.
                     continue
     finally:
         if f is not None:

@@ -1211,6 +1211,10 @@ def test_corpus_report_approx_within_rsd(spark):
         assert approx[s].total_tokens == exact[s].total_tokens
         rel = abs(approx[s].n_distinct - exact[s].n_distinct) / exact[s].n_distinct
         assert rel <= 0.15, (s, approx[s].n_distinct, exact[s].n_distinct)
+        # HLL overestimates are clamped: a data card never reports
+        # n_distinct > n_docs or a negative dup fraction
+        assert approx[s].n_distinct <= approx[s].n_docs
+        assert approx[s].exact_dup_frac >= 0.0
     plan = ts2.corpus_report(df, "source", "text", approx=True)._jdf.queryExecution().optimizedPlan().toString()
     assert "approx_count_distinct" in plan
     assert "approx_count_distinct" not in ts2.corpus_report(
