@@ -1208,6 +1208,48 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """URL quality gate (dedup.url_quality): C4/RefinedWeb-style
+    pre-fetch filter — bad extension, blocklist word, digit-heavy
+    host, deep path, overlong url, too many query params. Messy urls
+    are synthesized deterministically from (source, doc_id) with each
+    modulus branch firing one rule, identically on both engines; all
+    flags integer-exact 0/1. Pure codegen, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("casino-")).otherwise(
+            F.lit("www.")
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit("9999999999999999"),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 17 == 0, F.expr("repeat('/seg', 12)")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/p/"),
+        (F.col("doc_id") % 300).cast("string"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(".jpg")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0, F.expr("repeat('z', 600)")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        dd.url_quality(d.select("doc_id", url.alias("url")), "doc_id", "url")
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup (dedup.incremental_exact_dedup): docs
     with id < 100 are the accumulated history (their fingerprints form
@@ -1568,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_lsh": x_ann_lsh,  # ⊂ q_ann_lsh_multiprobe (r6 demotion)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
+        "q_url_filter": q_url_filter,  # C4/RefinedWeb URL quality gate (r6; url regex family ⊂ q_url_dedup)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
         "q_asof_join_bucketed": q_asof_join_bucketed,  # skew-safe as-of ⊂ q_asof_join oracle
         "q_training_mixture": q_training_mixture,  # sampling∘sharding composition (late addition)
@@ -3411,6 +3454,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT canon.doc_id, canon.canon_url, g.dup_count,
                CASE WHEN canon.doc_id = g.k THEN 1 ELSE 0 END AS keep
         FROM canon JOIN g USING (canon_url)
+    """
+    d["q_url_filter"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://'
+                 || (CASE WHEN doc_id % 13 = 0 THEN 'casino-' ELSE 'www.' END)
+                 || (CASE WHEN doc_id % 11 = 0
+                          THEN cast(doc_id % 997 as varchar) || '9999999999999999'
+                          ELSE '' END)
+                 || source || '.example.com'
+                 || (CASE WHEN doc_id % 17 = 0 THEN repeat('/seg', 12) ELSE '' END)
+                 || '/p/' || cast(doc_id % 300 as varchar)
+                 || (CASE WHEN doc_id % 19 = 0 THEN '.jpg' ELSE '' END)
+                 || (CASE WHEN doc_id % 29 = 0 THEN repeat('z', 600) ELSE '' END)
+                 || (CASE WHEN doc_id % 23 = 0
+                          THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                          ELSE '' END) AS url
+          FROM documents
+        ),
+        parts AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+                   '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+                 regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM u
+        ),
+        flags AS (
+          SELECT doc_id, url, host,
+                 CASE WHEN regexp_matches(lower(path),
+                   '\\.(jpg|jpeg|png|gif|bmp|webp|css|js|ico|svg|woff2?|ttf|zip|gz|tar|exe|dmg|mp3|mp4|avi|mov|pdf)$')
+                      THEN 1 ELSE 0 END AS bad_ext,
+                 CASE WHEN regexp_matches(host || lower(path),
+                   '(porn|xxx|casino|gambl|viagra|escort)')
+                      THEN 1 ELSE 0 END AS blocked_word,
+                 CASE WHEN length(host) > 0 AND
+                   (length(host) - length(regexp_replace(host, '[0-9]', '', 'g')))::DOUBLE
+                     / length(host) > 0.4
+                      THEN 1 ELSE 0 END AS digit_host,
+                 CASE WHEN (length(path) - length(replace(path, '/', ''))) > 10
+                      THEN 1 ELSE 0 END AS deep_path,
+                 CASE WHEN length(url) > 512 THEN 1 ELSE 0 END AS long_url,
+                 CASE WHEN (CASE WHEN length(query) > 0
+                                 THEN length(query) - length(replace(query, '&', '')) + 1
+                                 ELSE 0 END) > 8
+                      THEN 1 ELSE 0 END AS many_params
+          FROM parts
+        )
+        SELECT doc_id, url, host, bad_ext, blocked_word, digit_host,
+               deep_path, long_url, many_params,
+               cast(bad_ext + blocked_word + digit_host + deep_path
+                    + long_url + many_params as bigint) AS n_flags,
+               CASE WHEN url IS NULL THEN 0
+                    WHEN bad_ext + blocked_word + digit_host + deep_path
+                         + long_url + many_params = 0 THEN 1
+                    ELSE 0 END AS keep
+        FROM flags
     """
     # -- derived oracles (built from the entries above so the entity
     # SQL cannot silently diverge between the base check and the

@@ -956,3 +956,89 @@ def duplicate_span_removal(
             "text_md5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL quality filtering (C4/RefinedWeb-style pre-crawl-content gate)
+# ---------------------------------------------------------------------------
+
+DEFAULT_URL_BLOCKLIST = (
+    "porn", "xxx", "casino", "gambl", "viagra", "escort",
+)
+
+_BAD_EXT_RE = (
+    r"\.(jpg|jpeg|png|gif|bmp|webp|css|js|ico|svg|woff2?|ttf|zip|gz|tar"
+    r"|exe|dmg|mp3|mp4|avi|mov|pdf)$"
+)
+
+
+def url_quality(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocklist: tuple[str, ...] = DEFAULT_URL_BLOCKLIST,
+    max_digit_frac: float = 0.4,
+    max_path_depth: int = 10,
+    max_url_len: int = 512,
+    max_params: int = 8,
+) -> DataFrame:
+    """URL-level quality gate — the filter web-text pipelines apply
+    BEFORE fetching/parsing content (C4 drops bad extensions and a
+    word blocklist; RefinedWeb adds url-shape heuristics). One row per
+    input: (id, url, host, bad_ext, blocked_word, digit_host,
+    deep_path, long_url, many_params, n_flags, keep) with integer 0/1
+    flags and keep = 1 iff no flag fires.
+
+    Pure whole-stage-codegen expressions — zero shuffles, zero Python;
+    at 100 TB this runs inside the scan projection. All rules are
+    engine-portable regex/arithmetic (the DuckDB oracle mirrors them):
+    - bad_ext       path ends in a non-page asset/binary extension
+    - blocked_word  host+path contains a blocklist token (substring,
+                    the C4 badwords approach at its simplest)
+    - digit_host    digit fraction of the host > ``max_digit_frac``
+                    (autogenerated spam hosts)
+    - deep_path     more than ``max_path_depth`` path segments
+    - long_url      url longer than ``max_url_len`` chars
+    - many_params   more than ``max_params`` query parameters
+    NULL urls get every flag 0 except keep=0 (unfetchable)."""
+    import re as _re
+
+    url = F.col(url_col)
+    host_raw = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(host_raw, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
+    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    blocked_re = "(" + "|".join(_re.escape(w) for w in blocklist) + ")"
+    n_digits = F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    digit_frac = F.when(
+        F.length(host) > 0, n_digits / F.length(host)
+    ).otherwise(F.lit(0.0))
+    depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    n_params = F.when(
+        F.length(query) > 0,
+        F.length(query) - F.length(F.regexp_replace(query, r"&", "")) + 1,
+    ).otherwise(F.lit(0))
+
+    flags = {
+        "bad_ext": F.lower(path).rlike(_BAD_EXT_RE),
+        "blocked_word": F.concat(host, F.lower(path)).rlike(blocked_re),
+        "digit_host": digit_frac > max_digit_frac,
+        "deep_path": depth > max_path_depth,
+        "long_url": F.length(url) > max_url_len,
+        "many_params": n_params > max_params,
+    }
+    out = df.select(
+        F.col(id_col).alias("id"),
+        url.alias("url"),
+        host.alias("host"),
+        *[F.coalesce(c.cast("int"), F.lit(0)).alias(n) for n, c in flags.items()],
+    )
+    n_flags = sum(F.col(n) for n in flags)
+    return out.withColumn("n_flags", n_flags.cast("long")).withColumn(
+        "keep",
+        F.when(F.col("url").isNull(), F.lit(0))
+        .otherwise((n_flags == 0).cast("int")),
+    )

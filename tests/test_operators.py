@@ -1166,6 +1166,43 @@ def test_temperature_weights_properties(spark):
     assert w7["small"].rate_pct == 100  # capped: budget exceeds source
 
 
+def test_url_quality_planted(spark):
+    """URL quality gate: each rule fires on its planted case; nulls,
+    scheme-less urls, userinfo and ports handled."""
+    from indu_doc_transformer_spark.operators import dedup as dd2
+
+    rows = [
+        (1, "https://www.ok.example.com/p/1"),              # clean
+        (2, "https://img.example.com/a/b/logo.PNG"),        # bad_ext
+        (3, "https://best-casino.example.com/x"),           # blocked_word
+        (4, "https://www.example.com/play/xxx/page"),       # blocked in path
+        (5, "https://1234567.89.example/x"),                # digit host
+        (6, "https://ex.com/a/b/c/d/e/f/g/h/i/j/k/l"),      # deep path
+        (7, "https://ex.com/p?" + "&".join(f"k{i}=v" for i in range(9))),  # params
+        (8, "https://ex.com/" + "z" * 600),                 # long url
+        (9, None),                                          # null url
+        (10, "no-scheme-at-all"),                           # host='' -> no flags
+        (11, "https://user:pw@Host.EX.com:8443/Path"),      # userinfo+port strip
+    ]
+    out = {
+        r.id: r
+        for r in dd2.url_quality(
+            spark.createDataFrame(rows, "id long, url string"), "id", "url"
+        ).collect()
+    }
+    assert out[1].keep == 1 and out[1].n_flags == 0
+    assert out[2].bad_ext == 1 and out[2].keep == 0
+    assert out[3].blocked_word == 1
+    assert out[4].blocked_word == 1
+    assert out[5].digit_host == 1
+    assert out[6].deep_path == 1
+    assert out[7].many_params == 1 and out[7].keep == 0
+    assert out[8].long_url == 1
+    assert out[9].keep == 0 and out[9].n_flags == 0  # null: unfetchable
+    assert out[10].keep == 1 and out[10].host == ""
+    assert out[11].host == "host.ex.com" and out[11].keep == 1
+
+
 def test_corpus_report_planted(spark):
     """Data-card panel: counts, token totals, and the exact-dup
     fraction from the normalized fingerprint."""
