@@ -156,10 +156,30 @@ REFERENCE_DDL: tuple[str, ...] = (
 _BATCH = 500  # executemany chunk (mirrors the reference's batch_insert)
 
 
-def _stream(cur: sqlite3.Cursor, sql: str, rows: Iterable[tuple]) -> None:
+def _stream(
+    cur: sqlite3.Cursor,
+    sql: str,
+    rows: Iterable[tuple],
+    table: str = "",
+    max_rows: Optional[int] = None,
+) -> None:
     buf: list[tuple] = []
+    n = 0
     for r in rows:
         buf.append(r)
+        n += 1
+        if max_rows is not None and n > max_rows:
+            # bounded-sink contract enforced LOUDLY: silently writing
+            # a corpus-scale table into one .db file would thrash for
+            # hours and produce an unusable artifact — fail fast and
+            # point at the scale surface instead
+            raise RuntimeError(
+                f"export_sqlite: table {table!r} exceeds max_rows="
+                f"{max_rows}; the SQLite sink is a bounded "
+                "interoperability export — use the parquet entity "
+                "tables for corpus-scale output, or raise max_rows "
+                "explicitly"
+            )
         if len(buf) >= _BATCH:
             cur.executemany(sql, buf)
             buf.clear()
@@ -185,11 +205,14 @@ def export_sqlite(
     db_file: str,
     config: AspectsConfig = DEFAULT_ASPECTS,
     documents: Optional[DataFrame] = None,
+    max_rows: Optional[int] = 50_000_000,
 ) -> str:
     """Write the entity-table dict to ``db_file`` in the reference's
     exact SQLite schema (save_to_db analog). ``documents`` optionally
     supplies blobs: a DataFrame with ``url`` and a binary column
-    (``html`` or ``content``)."""
+    (``html`` or ``content``). ``max_rows`` bounds any single table —
+    exceeding it raises RuntimeError (the bounded-sink contract,
+    enforced loudly; pass ``max_rows=None`` to disable)."""
     x = tables["xtargets"]
     aspects = tables["aspects"]
     attrs = tables["attributes"]
@@ -259,6 +282,12 @@ def export_sqlite(
     con = sqlite3.connect(db_file)
     try:
         cur = con.cursor()
+
+        def stream(sql: str, rows) -> None:
+            # table name for the max_rows error = first quoted ident
+            _stream(cur, sql, rows, table=sql.split('"')[1],
+                    max_rows=max_rows)
+
         # save_to_db drops + recreates (db.py:192-195)
         for tbl in ("xtargetmodel", "aspectmodel", "attributemodel",
                     "pinmodel", "linkmodel", "connectionmodel",
@@ -269,14 +298,12 @@ def export_sqlite(
         for stmt in REFERENCE_DDL:
             cur.execute(stmt)
 
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "xtargetmodel" ("guid","tag","target_type") VALUES (?,?,?)',
             ((r.guid, r.tag, r.target_type)
              for r in x.select("guid", "tag", "target_type").toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "aspectmodel" ("guid","separator","value") VALUES (?,?,?)',
             ((r.guid, r.separator, r.value)
              for r in aspects.select("guid", "separator", "value").toLocalIterator()),
@@ -290,14 +317,12 @@ def export_sqlite(
                 yield (r.guid, r.name, json.dumps(payload),
                        _ATTR_TYPE_TO_DB[r.type])
 
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "attributemodel" ("id","name","value","type") '
             "VALUES (?,?,?,?)",
             attr_rows(),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "pinmodel" '
             '("guid","name","role","childPin_id","parentLink_id") '
             "VALUES (?,?,?,?,?)",
@@ -306,8 +331,7 @@ def export_sqlite(
                  "guid", "name", "role", "child_guid", "link_guid"
              ).toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "linkmodel" ("guid","name","parent_id","src_pin_id",'
             '"dest_pin_id","src_pin_name","dest_pin_name") VALUES (?,?,?,?,?,?,?)',
             ((r.guid, r.name, r.connection_guid, r.src_pin_id, r.dest_pin_id,
@@ -317,8 +341,7 @@ def export_sqlite(
                  "dest_pin_id", "src_pin_name", "dest_pin_name"
              ).toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "connectionmodel" ("guid","src_id","dst_id","through_id") '
             "VALUES (?,?,?,?)",
             ((r.guid, r.src_guid, r.dst_guid, r.through_guid)
@@ -326,8 +349,7 @@ def export_sqlite(
                  "guid", "src_guid", "dst_guid", "through_guid"
              ).toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "attributedobjattributethroughmodel" '
             '("attributed_obj_type","attributed_obj_id","attribute_id") '
             "VALUES (?,?,?)",
@@ -336,8 +358,7 @@ def export_sqlite(
                  "attributed_obj_type", "attributed_obj_id", "attribute_id"
              ).toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "xtargetaspectthroughmodel" '
             '("xtarget_id","aspect_id","sort_order") VALUES (?,?,?)',
             ((r.xtarget_guid, r.aspect_guid, r.sort_order)
@@ -354,22 +375,19 @@ def export_sqlite(
                 blob = bytes(r.blob) if r.blob is not None else b""
                 yield (r.doc_id, fname, mime or "application/octet-stream", blob)
 
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "documentmodel" ("id","fileName","mime","file") '
             "VALUES (?,?,?,?)",
             doc_rows(),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "pagemodel" ("id","number","document_id") VALUES (?,?,?)',
             ((r.page_id, r.page_no, r.doc_id)
              for r in pages_df.select(
                  "page_id", "page_no", "doc_id"
              ).orderBy("page_id").toLocalIterator()),
         )
-        _stream(
-            cur,
+        stream(
             'INSERT INTO "pageobjectthroughmodel" '
             '("page_id","object_type","object_id") VALUES (?,?,?)',
             ((r.page_id, r.object_type, r.object_guid)

@@ -330,6 +330,47 @@ def test_warc_indexed_split_parity(spark, tmp_path):
     assert salvaged == {t for t in whole if t[0] != recs[4]["url"]}
 
 
+def test_warc_indexed_random_geometry_invariance(spark, tmp_path):
+    """Split-invariance under random record/split geometry: for
+    seeded random archives (varied body sizes incl. empty, unicode
+    urls, missing lang) and random records_per_split, the indexed
+    reader equals the per-file reader record-for-record."""
+    import random
+
+    from indu_doc_transformer_spark.sources import warc as w
+
+    for seed in (7, 99, 20260817):
+        rng = random.Random(seed)
+        sub = tmp_path / f"s{seed}"
+        sub.mkdir()
+        recs = []
+        for i in range(rng.randrange(5, 40)):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 900)))
+            recs.append({
+                "url": f"http://h{i}.ex/pé{i}",
+                "ts": f"2021-0{rng.randrange(1, 10)}-01T00:00:00Z",
+                "html": body,
+                "lang": rng.choice(["en", "de", None]),
+            })
+        ix = w.write_warc(recs, str(sub / "a.warc.gz"))
+        idx = spark.createDataFrame(
+            [("a.warc.gz", e["offset"], e["length"]) for e in ix],
+            "warc_file string, offset long, length long",
+        )
+        split = rng.randrange(1, len(recs) + 3)
+        got = {
+            (r.url, r.warc_ts, bytes(r.html), r.lang)
+            for r in w.read_warc_indexed(
+                spark, idx, warc_root=str(sub), records_per_split=split
+            ).collect()
+        }
+        want = {
+            (r.url, r.warc_ts, bytes(r.html), r.lang)
+            for r in w.read_warc(spark, str(sub / "a.warc.gz")).collect()
+        }
+        assert got == want and len(got) == len(recs), (seed, split)
+
+
 def test_warc_streaming_bounded_memory(tmp_path):
     """Ingest a ~300 MiB (raw) multi-member .warc.gz and assert peak
     RSS growth < 2x the largest record — the O(record) streaming

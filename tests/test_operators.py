@@ -1203,6 +1203,40 @@ def test_url_quality_planted(spark):
     assert out[11].host == "host.ex.com" and out[11].keep == 1
 
 
+def test_url_quality_total_on_adversarial_urls(spark):
+    """Totality sweep: url_quality never throws and keeps its flag
+    invariants (0/1 flags, n_flags = sum, keep consistent) over a
+    seeded batch of pathological strings — empty, no scheme, bare
+    scheme, unicode, control chars, regex metachars, giant tokens."""
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = "ab/:?#&=.%@09é中 \t\\()[]{}*+|^$"
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
+            for i in range(400)]
+    rows += [
+        (1000, ""), (1001, "://"), (1002, "https://"), (1003, "?a=1"),
+        (1004, "http://" + "a" * 5000), (1005, "ftp://x@y:99/z"),
+        (1006, None), (1007, "https://h/" + "%41" * 200),
+    ]
+    from indu_doc_transformer_spark.operators import dedup as dd2
+
+    out = dd2.url_quality(
+        spark.createDataFrame(rows, "id long, url string"), "id", "url"
+    ).collect()
+    assert len(out) == len(rows)
+    flag_cols = ["bad_ext", "blocked_word", "digit_host", "deep_path",
+                 "long_url", "many_params"]
+    for r in out:
+        vals = [getattr(r, c) for c in flag_cols]
+        assert all(v in (0, 1) for v in vals), r
+        assert r.n_flags == sum(vals), r
+        if r.url is None:
+            assert r.keep == 0
+        else:
+            assert r.keep == (1 if r.n_flags == 0 else 0), r
+
+
 def test_corpus_report_planted(spark):
     """Data-card panel: counts, token totals, and the exact-dup
     fraction from the normalized fingerprint."""

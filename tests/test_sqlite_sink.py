@@ -154,6 +154,15 @@ def test_documents_pages_and_blobs(spark, setup):
     assert json.loads(configs_txt)[0] == {"Separator": "=", "Aspect": "Functional"}
 
 
+def test_max_rows_guard(spark, setup, tmp_path):
+    """The bounded-sink contract is enforced loudly: a table exceeding
+    max_rows raises (naming the table) instead of silently writing a
+    corpus-scale sqlite file."""
+    tables, _ = setup
+    with pytest.raises(RuntimeError, match="max_rows.*parquet|exceeds max_rows"):
+        sq.export_sqlite(tables, str(tmp_path / "guard.db"), max_rows=10)
+
+
 def test_registry_dispatch(spark, setup, tmp_path):
     """'sqlite' dispatches through the exporter registry."""
     from indu_doc_transformer_spark.operators import sinks
