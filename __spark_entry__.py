@@ -1610,7 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ann_lsh": x_ann_lsh,  # ⊂ q_ann_lsh_multiprobe (r6 demotion)
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
-        "q_url_filter": q_url_filter,  # C4/RefinedWeb URL quality gate (r6; url regex family ⊂ q_url_dedup)
+        "q_url_filter": q_url_filter,  # C4/RefinedWeb URL quality gate (r6 late addition; the pure-codegen rule-flag SHAPE is recorded via q_gopher_rules/q_c4_rules — the url-specific regex content is pinned by validate_entry at 2 scales each round)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
         "q_asof_join_bucketed": q_asof_join_bucketed,  # skew-safe as-of ⊂ q_asof_join oracle
         "q_training_mixture": q_training_mixture,  # sampling∘sharding composition (late addition)
@@ -3473,19 +3473,24 @@ def oracle_sql() -> dict[str, str]:
                           ELSE '' END) AS url
           FROM documents
         ),
+        nf AS (
+          SELECT doc_id, url,
+                 regexp_replace(url, '(?s)#.*', '') AS no_frag
+          FROM u
+        ),
         parts AS (
           SELECT doc_id, url,
                  regexp_replace(regexp_replace(
-                   lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-                   '^[^@]*@', ''), ':[0-9]+$', '') AS host,
-                 regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
-                 regexp_extract(url, '\\?([^#]*)', 1) AS query
-          FROM u
+                   lower(regexp_extract(no_frag, '^[^:/?#]+://([^/?#]*)', 1)),
+                   '^[^@]*@', ''), ':[0-9]+\\z', '') AS host,
+                 regexp_extract(no_frag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(no_frag, '(?s)\\?(.*)', 1) AS query
+          FROM nf
         ),
         flags AS (
           SELECT doc_id, url, host,
                  CASE WHEN regexp_matches(lower(path),
-                   '\\.(jpg|jpeg|png|gif|bmp|webp|css|js|ico|svg|woff2?|ttf|zip|gz|tar|exe|dmg|mp3|mp4|avi|mov|pdf)$')
+                   '\\.(jpg|jpeg|png|gif|bmp|webp|css|js|ico|svg|woff2?|ttf|zip|gz|tar|exe|dmg|mp3|mp4|avi|mov|pdf)\\z')
                       THEN 1 ELSE 0 END AS bad_ext,
                  CASE WHEN regexp_matches(host || lower(path),
                    '(porn|xxx|casino|gambl|viagra|escort)')
@@ -3507,7 +3512,7 @@ def oracle_sql() -> dict[str, str]:
                deep_path, long_url, many_params,
                cast(bad_ext + blocked_word + digit_host + deep_path
                     + long_url + many_params as bigint) AS n_flags,
-               CASE WHEN url IS NULL THEN 0
+               CASE WHEN url IS NULL OR length(host) = 0 THEN 0
                     WHEN bad_ext + blocked_word + digit_host + deep_path
                          + long_url + many_params = 0 THEN 1
                     ELSE 0 END AS keep

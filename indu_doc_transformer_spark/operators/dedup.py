@@ -966,9 +966,13 @@ DEFAULT_URL_BLOCKLIST = (
     "porn", "xxx", "casino", "gambl", "viagra", "escort",
 )
 
+# \z (end of TEXT) rather than $: Java's $ also matches before a
+# trailing newline while RE2's does not — \z means the same thing in
+# both engines, so the DuckDB oracle parity holds even for dirty
+# crawl urls containing control characters
 _BAD_EXT_RE = (
     r"\.(jpg|jpeg|png|gif|bmp|webp|css|js|ico|svg|woff2?|ttf|zip|gz|tar"
-    r"|exe|dmg|mp3|mp4|avi|mov|pdf)$"
+    r"|exe|dmg|mp3|mp4|avi|mov|pdf)\z"
 )
 
 
@@ -1000,16 +1004,23 @@ def url_quality(
     - deep_path     more than ``max_path_depth`` path segments
     - long_url      url longer than ``max_url_len`` chars
     - many_params   more than ``max_params`` query parameters
-    NULL urls get every flag 0 except keep=0 (unfetchable)."""
+    Unfetchable inputs — NULL urls and urls with no authority (empty
+    host: empty string, scheme-less, bare scheme) — get keep=0 with
+    every flag 0: a PRE-FETCH gate must not forward what cannot be
+    fetched."""
     import re as _re
 
     url = F.col(url_col)
-    host_raw = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
+    # strip the fragment FIRST: a '?' inside '#...' is fragment
+    # content (SPA routes), not a query string. (?s) so '.' crosses
+    # newlines identically in Java and RE2 (dirty crawl urls)
+    no_frag = F.regexp_replace(url, r"(?s)#.*", "")
+    host_raw = F.lower(F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1))
     host = F.regexp_replace(
-        F.regexp_replace(host_raw, r"^[^@]*@", ""), r":[0-9]+$", ""
+        F.regexp_replace(host_raw, r"^[^@]*@", ""), r":[0-9]+\z", ""
     )
-    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    path = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(no_frag, r"(?s)\?(.*)", 1)
 
     blocked_re = "(" + "|".join(_re.escape(w) for w in blocklist) + ")"
     n_digits = F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
@@ -1039,6 +1050,7 @@ def url_quality(
     n_flags = sum(F.col(n) for n in flags)
     return out.withColumn("n_flags", n_flags.cast("long")).withColumn(
         "keep",
-        F.when(F.col("url").isNull(), F.lit(0))
-        .otherwise((n_flags == 0).cast("int")),
+        F.when(
+            F.col("url").isNull() | (F.length("host") == 0), F.lit(0)
+        ).otherwise((n_flags == 0).cast("int")),
     )

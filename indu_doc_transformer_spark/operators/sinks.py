@@ -78,10 +78,15 @@ register_exporter("aml", _export_aml)
 
 
 def _export_sqlite(tables, path, config=None, documents=None, **opts):
-    # lazy import: sqlite_sink imports register_exporter from here
+    # lazy import: sqlite_sink imports register_exporter from here.
+    # Forward the remaining opts (notably max_rows) so the bounded-
+    # export cap can be raised/disabled through THIS public surface —
+    # the cap's error message tells users to do exactly that.
     from .sqlite_sink import export_sqlite
 
-    kw = {} if config is None else {"config": config}
+    kw = dict(opts)
+    if config is not None:
+        kw["config"] = config
     export_sqlite(tables, path, documents=documents, **kw)
 
 

@@ -1181,8 +1181,11 @@ def test_url_quality_planted(spark):
         (7, "https://ex.com/p?" + "&".join(f"k{i}=v" for i in range(9))),  # params
         (8, "https://ex.com/" + "z" * 600),                 # long url
         (9, None),                                          # null url
-        (10, "no-scheme-at-all"),                           # host='' -> no flags
+        (10, "no-scheme-at-all"),                           # host='' -> unfetchable
         (11, "https://user:pw@Host.EX.com:8443/Path"),      # userinfo+port strip
+        # '?' INSIDE the fragment is not a query string (SPA route)
+        (12, "https://app.ex.com/#/search?" + "&".join(f"k{i}=v" for i in range(9))),
+        (13, "https://ex.com/pic.jpg\n"),                   # \z: trailing \n -> no ext match
     ]
     out = {
         r.id: r
@@ -1199,8 +1202,11 @@ def test_url_quality_planted(spark):
     assert out[7].many_params == 1 and out[7].keep == 0
     assert out[8].long_url == 1
     assert out[9].keep == 0 and out[9].n_flags == 0  # null: unfetchable
-    assert out[10].keep == 1 and out[10].host == ""
+    # empty host = unfetchable: a PRE-FETCH gate must not forward it
+    assert out[10].keep == 0 and out[10].host == "" and out[10].n_flags == 0
     assert out[11].host == "host.ex.com" and out[11].keep == 1
+    assert out[12].many_params == 0 and out[12].keep == 1  # fragment != query
+    assert out[13].bad_ext == 0  # \z anchors end-of-text in BOTH engines
 
 
 def test_url_quality_total_on_adversarial_urls(spark):
@@ -1211,7 +1217,7 @@ def test_url_quality_total_on_adversarial_urls(spark):
     import random
 
     rng = random.Random(20260817)
-    alphabet = "ab/:?#&=.%@09é中 \t\\()[]{}*+|^$"
+    alphabet = "ab/:?#&=.%@09é中 \t\n\\()[]{}*+|^$"
     rows = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
             for i in range(400)]
     rows += [
@@ -1231,8 +1237,8 @@ def test_url_quality_total_on_adversarial_urls(spark):
         vals = [getattr(r, c) for c in flag_cols]
         assert all(v in (0, 1) for v in vals), r
         assert r.n_flags == sum(vals), r
-        if r.url is None:
-            assert r.keep == 0
+        if r.url is None or r.host == "":
+            assert r.keep == 0, r  # unfetchable
         else:
             assert r.keep == (1 if r.n_flags == 0 else 0), r
 

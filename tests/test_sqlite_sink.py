@@ -161,6 +161,13 @@ def test_max_rows_guard(spark, setup, tmp_path):
     tables, _ = setup
     with pytest.raises(RuntimeError, match="max_rows.*parquet|exceeds max_rows"):
         sq.export_sqlite(tables, str(tmp_path / "guard.db"), max_rows=10)
+    # the cap is tunable through the PUBLIC registry surface too (its
+    # error message tells users to raise max_rows — that must work)
+    from indu_doc_transformer_spark.operators import sinks
+
+    with pytest.raises(RuntimeError, match="exceeds max_rows"):
+        sinks.export_tables(tables, str(tmp_path / "guard2.db"),
+                            format="sqlite", max_rows=10)
 
 
 def test_registry_dispatch(spark, setup, tmp_path):
