@@ -957,6 +957,15 @@ def q_token_shards(spark, sf_dir):
     )
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard release manifest (textstats.shard_manifest): doc and
+    token counts, id range, and the order-insensitive bit_xor content
+    hash (60-bit md5 prefix) per 2000-token shard — the checksum file
+    a training-data drop ships. Integer-exact everywhere."""
+    d = _t(spark, sf_dir, "documents")
+    return ts.shard_manifest(d, "doc_id", "text", 2000)
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-scaled mixture weights (sampling.temperature_weights
     — the T5/mT5/PaLM tau-sampling rule): per-source w ∝ n^0.7 plus
@@ -1611,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_caps": q_source_caps,  # per-source quota (late addition)
         "q_url_dedup": q_url_dedup,  # URL canonicalization + dedup (late addition)
         "q_url_filter": q_url_filter,  # C4/RefinedWeb URL quality gate (r6 late addition; the pure-codegen rule-flag SHAPE is recorded via q_gopher_rules/q_c4_rules — the url-specific regex content is pinned by validate_entry at 2 scales each round)
+        "q_shard_manifest": q_shard_manifest,  # per-shard release manifest (r6 late addition; packing ⊂ recorded q_token_shards, manifest agg pinned by validate_entry at 2 scales)
         "q_incremental_dedup": q_incremental_dedup,  # ingest-vs-history dedup (late addition)
         "q_asof_join_bucketed": q_asof_join_bucketed,  # skew-safe as-of ⊂ q_asof_join oracle
         "q_training_mixture": q_training_mixture,  # sampling∘sharding composition (late addition)
@@ -2266,6 +2276,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
             FROM t
+        """,
+        "q_shard_manifest": """
+            WITH t AS (
+              SELECT doc_id,
+                     cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS n_tokens,
+                     cast('0x' || substr(md5(cast(doc_id as varchar) || ':' || text), 1, 15) as bigint) AS h
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens, h,
+                     cast(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) as bigint) AS shard_id
+              FROM t
+            )
+            SELECT shard_id,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n_tokens) as bigint) AS n_tokens,
+                   min(doc_id) AS first_id,
+                   max(doc_id) AS last_id,
+                   cast(bit_xor(h) as bigint) AS content_hash
+            FROM s GROUP BY shard_id
         """,
         "q_temperature_mixture": """
             WITH a AS (SELECT source, cast(count(*) as bigint) AS n_docs

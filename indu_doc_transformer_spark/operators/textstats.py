@@ -753,3 +753,57 @@ def corpus_report(
         nd.alias("n_distinct"),
         F.round(F.lit(1.0) - nd / n, 6).alias("exact_dup_frac"),
     )
+
+
+def shard_manifest(df, id_col: str, text_col: str, tokens_per_shard: int):
+    """Per-shard release manifest — the artifact a training-data drop
+    ships next to its shards: (shard_id, n_docs, n_tokens, first_id,
+    last_id, content_hash). content_hash is an order-insensitive
+    ``bit_xor`` of a 60-bit md5 prefix over (id, text) pairs: bit_xor,
+    not sum (summing 64-bit hashes overflows under ANSI — the
+    connected_components_star lesson), and 60 bits so the value stays
+    in signed-64 range on every engine (the DuckDB oracle computes the
+    identical hex-prefix cast). Verifying a delivered shard = re-xor
+    its rows and compare one number.
+
+    One id-ordered window (the token_shards assignment) + ONE
+    aggregation with map-side combine; at 100 TB swap the assignment
+    for ``token_shards_scalable`` (same contract) — the manifest agg
+    itself is a plain groupBy, already scale-safe."""
+    from pyspark.sql import Window
+
+    n = ws_token_count(F.col(text_col)).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("_n"),
+        h.alias("_h"),
+    ).select(
+        "id",
+        "_n",
+        "_h",
+        F.floor(
+            (F.sum("_n").over(Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )) - F.col("_n")) / tokens_per_shard
+        ).cast("long").alias("shard_id"),
+    )
+    return base.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.min("id").alias("first_id"),
+        F.max("id").alias("last_id"),
+        F.expr("bit_xor(_h)").cast("long").alias("content_hash"),
+    )

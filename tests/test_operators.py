@@ -1209,6 +1209,45 @@ def test_url_quality_planted(spark):
     assert out[13].bad_ext == 0  # \z anchors end-of-text in BOTH engines
 
 
+def test_shard_manifest_verifies_delivery(spark):
+    """The manifest's contract: an independently-computed re-xor of a
+    delivered shard's rows equals content_hash, counts and id ranges
+    match, and shard totals partition the corpus."""
+    import hashlib
+
+    from indu_doc_transformer_spark.operators import textstats as ts2
+
+    rows = [(i, f"doc {i} " + "tok " * (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    man = {r.shard_id: r for r in
+           ts2.shard_manifest(df, "doc_id", "text", 25).collect()}
+    assert len(man) > 2
+    # independent re-computation, row by row (the consumer's side)
+    order = []
+    for i, text in rows:
+        n = len(text.strip().split())
+        h = int(hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:15], 16)
+        order.append((i, n, h))
+    cum = 0
+    agg: dict = {}
+    for i, n, h in order:
+        sid = cum // 25
+        cum += n
+        a = agg.setdefault(sid, {"n_docs": 0, "n_tokens": 0, "xor": 0,
+                                 "first": i, "last": i})
+        a["n_docs"] += 1
+        a["n_tokens"] += n
+        a["xor"] ^= h
+        a["last"] = i
+    assert set(agg) == set(man)
+    for sid, a in agg.items():
+        m = man[sid]
+        assert (m.n_docs, m.n_tokens, m.first_id, m.last_id) == (
+            a["n_docs"], a["n_tokens"], a["first"], a["last"])
+        assert m.content_hash == a["xor"], sid
+    assert sum(m.n_docs for m in man.values()) == len(rows)
+
+
 def test_url_quality_total_on_adversarial_urls(spark):
     """Totality sweep: url_quality never throws and keeps its flag
     invariants (0/1 flags, n_flags = sum, keep consistent) over a
