@@ -755,7 +755,9 @@ def corpus_report(
     )
 
 
-def shard_manifest(df, id_col: str, text_col: str, tokens_per_shard: int):
+def shard_manifest(
+    df, id_col: str, text_col: str, tokens_per_shard: int, assign=None
+):
     """Per-shard release manifest — the artifact a training-data drop
     ships next to its shards: (shard_id, n_docs, n_tokens, first_id,
     last_id, content_hash). content_hash is an order-insensitive
@@ -766,13 +768,12 @@ def shard_manifest(df, id_col: str, text_col: str, tokens_per_shard: int):
     identical hex-prefix cast). Verifying a delivered shard = re-xor
     its rows and compare one number.
 
-    One id-ordered window (the token_shards assignment) + ONE
-    aggregation with map-side combine; at 100 TB swap the assignment
-    for ``token_shards_scalable`` (same contract) — the manifest agg
-    itself is a plain groupBy, already scale-safe."""
-    from pyspark.sql import Window
-
-    n = ws_token_count(F.col(text_col)).cast("long")
+    ``assign`` is the shard-assignment operator — ``token_shards``
+    (default) or ``token_shards_scalable`` for 100 TB — so the pinned
+    packing formula lives in exactly ONE place; the per-row content
+    hash joins back on id (id-keyed equi-join, scale-safe), then ONE
+    aggregation with map-side combine."""
+    shards = (assign or token_shards)(df, id_col, text_col, tokens_per_shard)
     h = F.conv(
         F.substring(
             F.md5(
@@ -786,24 +787,15 @@ def shard_manifest(df, id_col: str, text_col: str, tokens_per_shard: int):
         16,
         10,
     ).cast("long")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        n.alias("_n"),
-        h.alias("_h"),
-    ).select(
-        "id",
-        "_n",
-        "_h",
-        F.floor(
-            (F.sum("_n").over(Window.orderBy("id").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )) - F.col("_n")) / tokens_per_shard
-        ).cast("long").alias("shard_id"),
-    )
-    return base.groupBy("shard_id").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("_n").cast("long").alias("n_tokens"),
-        F.min("id").alias("first_id"),
-        F.max("id").alias("last_id"),
-        F.expr("bit_xor(_h)").cast("long").alias("content_hash"),
+    hashes = df.select(F.col(id_col).alias("id"), h.alias("_h"))
+    return (
+        shards.join(hashes, "id")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+            F.expr("bit_xor(_h)").cast("long").alias("content_hash"),
+        )
     )

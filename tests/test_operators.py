@@ -1246,6 +1246,12 @@ def test_shard_manifest_verifies_delivery(spark):
             a["n_docs"], a["n_tokens"], a["first"], a["last"])
         assert m.content_hash == a["xor"], sid
     assert sum(m.n_docs for m in man.values()) == len(rows)
+    # the 100-TB path is a literal drop-in: same manifest through the
+    # distributed-prefix-sum assignment (one formula, never copied)
+    scalable = {r.shard_id: tuple(r) for r in ts2.shard_manifest(
+        df, "doc_id", "text", 25, assign=ts2.token_shards_scalable
+    ).collect()}
+    assert scalable == {k: tuple(v) for k, v in man.items()}
 
 
 def test_url_quality_total_on_adversarial_urls(spark):
