@@ -50,7 +50,21 @@ from indu_doc_transformer_spark.sources.corpus import corpus_df, docs_for_sf, sf
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # input-skew fix (optimization guide §2.5 "one huge unsplittable
+        # file ... repartition immediately after the read"): the driver
+        # writes these tables as ONE parquet row group, so every
+        # per-row-compute-heavy query over them (gram hashing, minhash
+        # signatures, cosine folds, structured-text explodes) otherwise
+        # runs in a single task no matter how many cores the session
+        # has (measured 28-30s single-task vs ~1s spread at sf1.0).
+        # Scale-adaptive: round-robin to defaultParallelism; the tables
+        # are MBs, so the one narrow exchange is microseconds. Results
+        # are partition-order-invariant by construction (decimal/int
+        # exact aggregates, round(6) on exact ratios, md5 min/xor).
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 _SQL_MD5_UUID = (
@@ -525,15 +539,43 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_orders(spark, sf_dir):
-    """TPC-H Q3-style 3-way join + top-k."""
+    """TPC-H Q3-style 3-way join + top-k.
+
+    Join order optimized (guide §3.1/§3.2): orders meets the BUILDING
+    customer broadcast FIRST, so the relation broadcast into the
+    lineitem probe is the ~5x smaller filtered order-key set and every
+    lineitem row pays ONE hash probe instead of two. Decimal sum —
+    result identical under any join order/partitioning. The broadcast
+    is stats-GATED, not forced (the decontam rule: read Catalyst's
+    estimate, never run a job at plan-build): an orders side too big
+    to broadcast falls back to the original shuffle-join shape."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    try:
+        est = int(
+            o.select("o_orderkey", "o_custkey")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:  # no estimate -> fail closed to the shuffle join
+        est = 1 << 62
+    if est <= (512 << 20):
+        of = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey).select(
+            "o_orderkey"
+        )
+        joined = li.join(
+            of.hint("broadcast"), li.l_orderkey == F.col("o_orderkey")
+        )
+    else:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+            c.hint("broadcast"), o.o_custkey == c.c_custkey
+        )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey")
+        joined.groupBy("o_orderkey")
         .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)

@@ -66,6 +66,12 @@ REQ_TYPE = (
 
 TYPE_PRIORITY = {"cable": 3, "device": 2, "strip": 1, "other": 0}
 
+# (applicationId, page_type) -> (pre, req) unresolved expression trees;
+# see Assembler._branch_exprs. Config-independent by construction (the
+# branch builders use only class-level constants; AspectsConfig feeds
+# the finisher UDFs, never the request projections).
+_BRANCH_EXPR_CACHE: dict = {}
+
 
 def _pri(type_col: Column) -> Column:
     c = F.when(type_col == "cable", 3).when(type_col == "device", 2)
@@ -453,6 +459,92 @@ class Assembler:
         "structure_identifier_overview": ["tag"],
     }
 
+    def _branch_exprs(self, page_type: str) -> tuple[list, "Column"]:
+        """The branch's unresolved expression trees: an ordered list of
+        precomputed (name, Column) pairs plus the request-array Column.
+
+        Pure plan-building (no DataFrame, no jobs): every Column here
+        references input columns by NAME only and depends on nothing but
+        ``page_type`` and class-level constants, so the trees are
+        memoized per (application, page_type) in ``_BRANCH_EXPR_CACHE``
+        — building them is thousands of py4j round-trips (~3-5s for all
+        nine branches, guide §1.2 "per-task work" at the driver), paid
+        once per JVM instead of once per assemble() call.
+        """
+        cols = F.col("cols")
+        pre: list = [("_loc_a", _loc_attrs())]
+
+        def base_attrs(c: Column, ptype: str) -> Column:
+            return F.concat(_simple_attrs(c, self._SIMPLE_EXCLUDE[ptype]), F.col("_loc_a"))
+
+        attrs, loc_a = F.col("_attrs"), F.col("_loc_a")
+        if page_type == "connection_list":
+            pre.append(("_attrs", base_attrs(cols, page_type)))
+            req = self._connection_list(cols, attrs, loc_a)
+        elif page_type == "device_tag_list":
+            pre.append(("_attrs", base_attrs(cols, page_type)))
+            req = self._device_tag_list(cols, attrs)
+        elif page_type == "cable_overview":
+            pre.append(("_attrs", base_attrs(cols, page_type)))
+            req = self._cable_overview(cols, attrs, loc_a)
+        elif page_type == "topology":
+            pre.append(
+                (
+                    "_attrs",
+                    F.concat(
+                        base_attrs(cols, page_type),
+                        F.array(_routing_attr(_g(cols, "route"))),
+                    ),
+                )
+            )
+            req = self._topology(cols, attrs, loc_a)
+        elif page_type == "wires_part_list":
+            pre.append(
+                (
+                    "_attrs",
+                    F.concat(
+                        base_attrs(cols, page_type),
+                        F.when(
+                            _g(cols, "route") != "",
+                            F.array(_routing_attr(_g(cols, "route"))),
+                        ).otherwise(F.expr(EMPTY_ATTRS)),
+                    ),
+                )
+            )
+            req = self._wires(cols, attrs, loc_a)
+        elif page_type == "cable_diagram":
+            pre.append(("_attrs", base_attrs(cols, page_type)))
+            req = self._cable_diagram(cols, attrs, loc_a)
+        elif page_type == "terminal_diagram":
+            cable_excl = self._SIMPLE_EXCLUDE["cable_diagram"]
+            pre.extend(
+                [
+                    ("_cols1", self._terminal_side("_1")),
+                    ("_cols2", self._terminal_side("_2")),
+                    (
+                        "_attrs1",
+                        F.concat(_simple_attrs(F.col("_cols1"), cable_excl), loc_a),
+                    ),
+                    (
+                        "_attrs2",
+                        F.concat(_simple_attrs(F.col("_cols2"), cable_excl), loc_a),
+                    ),
+                ]
+            )
+            req = F.concat(
+                self._cable_diagram(F.col("_cols1"), F.col("_attrs1"), loc_a),
+                self._cable_diagram(F.col("_cols2"), F.col("_attrs2"), loc_a),
+            )
+        elif page_type == "structure_identifier_overview":
+            pre.append(("_attrs", base_attrs(cols, page_type)))
+            req = self._structure(cols, attrs)
+        elif page_type == "plc_diagram":
+            pre.append(("_attrs", F.concat(F.array(_plc_attr(cols)), loc_a)))
+            req = self._plc(cols, attrs)
+        else:  # pragma: no cover - guarded by HANDLED_PAGE_TYPES
+            raise KeyError(page_type)
+        return pre, req
+
     def _branch(self, rows: DataFrame, page_type: str) -> DataFrame:
         """One per-page-type branch: filter -> branch-specific precompute
         -> request projection -> explode.
@@ -469,74 +561,24 @@ class Assembler:
         The precomputed ``_attrs``/``_loc_a`` (and terminal ``_cols1/2``)
         columns hold the expensive md5+to_json attribute arrays so they
         are evaluated once per row, never per emitted request element.
+        The expression trees come from the per-application memo (see
+        ``_branch_exprs``); only the cheap filter/withColumn/select
+        application happens per call.
         """
-        cols = F.col("cols")
-        loc = _loc_attrs()
-        b = rows.where(F.col("page_type") == page_type).withColumn("_loc_a", loc)
-
-        def base_attrs(c: Column, ptype: str) -> Column:
-            return F.concat(_simple_attrs(c, self._SIMPLE_EXCLUDE[ptype]), F.col("_loc_a"))
-
-        attrs, loc_a = F.col("_attrs"), F.col("_loc_a")
-        if page_type == "connection_list":
-            b = b.withColumn("_attrs", base_attrs(cols, page_type))
-            req = self._connection_list(cols, attrs, loc_a)
-        elif page_type == "device_tag_list":
-            b = b.withColumn("_attrs", base_attrs(cols, page_type))
-            req = self._device_tag_list(cols, attrs)
-        elif page_type == "cable_overview":
-            b = b.withColumn("_attrs", base_attrs(cols, page_type))
-            req = self._cable_overview(cols, attrs, loc_a)
-        elif page_type == "topology":
-            b = b.withColumn(
-                "_attrs",
-                F.concat(
-                    base_attrs(cols, page_type),
-                    F.array(_routing_attr(_g(cols, "route"))),
-                ),
-            )
-            req = self._topology(cols, attrs, loc_a)
-        elif page_type == "wires_part_list":
-            b = b.withColumn(
-                "_attrs",
-                F.concat(
-                    base_attrs(cols, page_type),
-                    F.when(
-                        _g(cols, "route") != "",
-                        F.array(_routing_attr(_g(cols, "route"))),
-                    ).otherwise(F.expr(EMPTY_ATTRS)),
-                ),
-            )
-            req = self._wires(cols, attrs, loc_a)
-        elif page_type == "cable_diagram":
-            b = b.withColumn("_attrs", base_attrs(cols, page_type))
-            req = self._cable_diagram(cols, attrs, loc_a)
-        elif page_type == "terminal_diagram":
-            cable_excl = self._SIMPLE_EXCLUDE["cable_diagram"]
-            b = (
-                b.withColumn("_cols1", self._terminal_side("_1"))
-                .withColumn("_cols2", self._terminal_side("_2"))
-                .withColumn(
-                    "_attrs1",
-                    F.concat(_simple_attrs(F.col("_cols1"), cable_excl), loc_a),
-                )
-                .withColumn(
-                    "_attrs2",
-                    F.concat(_simple_attrs(F.col("_cols2"), cable_excl), loc_a),
-                )
-            )
-            req = F.concat(
-                self._cable_diagram(F.col("_cols1"), F.col("_attrs1"), loc_a),
-                self._cable_diagram(F.col("_cols2"), F.col("_attrs2"), loc_a),
-            )
-        elif page_type == "structure_identifier_overview":
-            b = b.withColumn("_attrs", base_attrs(cols, page_type))
-            req = self._structure(cols, attrs)
-        elif page_type == "plc_diagram":
-            b = b.withColumn("_attrs", F.concat(F.array(_plc_attr(cols)), loc_a))
-            req = self._plc(cols, attrs)
-        else:  # pragma: no cover - guarded by HANDLED_PAGE_TYPES
-            raise KeyError(page_type)
+        sc = rows.sparkSession.sparkContext
+        key = (sc.applicationId, type(self).__qualname__, page_type)
+        cached = _BRANCH_EXPR_CACHE.get(key)
+        if cached is None:
+            cached = self._branch_exprs(page_type)
+            # drop entries from previous (stopped) applications: their
+            # py4j column handles point into a dead JVM context
+            for k in [k for k in _BRANCH_EXPR_CACHE if k[0] != sc.applicationId]:
+                _BRANCH_EXPR_CACHE.pop(k, None)
+            _BRANCH_EXPR_CACHE[key] = cached
+        pre, req = cached
+        b = rows.where(F.col("page_type") == page_type)
+        for name, col in pre:
+            b = b.withColumn(name, col)
         return (
             b.withColumn("reqs", req)
             .select("url", "page_no", "footer_tags", F.explode("reqs").alias("r"))
@@ -583,6 +625,21 @@ class Assembler:
         requests feed 6 finisher families; conn_all feeds 5 outputs) —
         at warehouse scale the same role is played by materializing
         stage tables."""
+        if persist:
+            # materialize the branch INPUT once (guide §2.4 "two
+            # operations keyed the same way can share one pass"): the
+            # nine per-type branches each re-run the upstream
+            # scan+explode+project otherwise — 9 full parquet decodes of
+            # the extracted table per assemble. One narrow eager
+            # localCheckpoint of the 7 needed columns turns that into
+            # 1 decode + 9 in-memory scans (measured ~2x on the request
+            # stage at sf1.0). At warehouse scale the equivalent is the
+            # page_type-partitioned rows stage table the branch
+            # docstring describes.
+            rows = rows.select(
+                "url", "page_no", "page_type", "footer_tags",
+                "row_idx", "cols", "loc_repr",
+            ).localCheckpoint(eager=True)
         reqs = self.requests_table(rows)
         if persist:
             # localCheckpoint (not just persist): the request-building
@@ -599,6 +656,12 @@ class Assembler:
             # sf0.01). Narrow dependency, no shuffle.
             n = rows.sparkSession.sparkContext.defaultParallelism
             reqs = reqs.coalesce(n).localCheckpoint(eager=True)
+            # the rows checkpoint fed exactly that materialization —
+            # release its blocks now instead of holding a second copy
+            # of the corpus in executor storage until context cleanup
+            from .dedup import _release_local_checkpoint
+
+            _release_local_checkpoint(rows)
         return self.finish(reqs, persist=persist)
 
     def finish(self, reqs: DataFrame, persist: bool = True) -> dict[str, DataFrame]:

@@ -68,18 +68,52 @@ def _topk(scored: DataFrame, k: int, num_salts: int = 16) -> DataFrame:
     )
 
 
+def _dot(x: Column, y: Column) -> Column:
+    """The embedding_cosine fold (dedup.embedding_cosine), factored out
+    so norms can be precomputed per vector instead of per joined pair —
+    MUST stay expression-identical to the fold inside embedding_cosine
+    (same sequential order => bit-identical doubles)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(x)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
+    )
+
+
 def ann_bruteforce_topk(
     df: DataFrame, id_col: str, vec_col: str, probe_ids: list[int], k: int = 5
 ) -> DataFrame:
-    """Exact cosine top-k: (probe_id, vec_id, cos_sim, rank)."""
+    """Exact cosine top-k: (probe_id, vec_id, cos_sim, rank).
+
+    Each side's norm sqrt(dot(x,x)) is computed ONCE per vector before
+    the probe cross join (guide §1.2 "per-task work"): the fold is an
+    interpreted higher-order expression, and evaluating it per
+    (probe, candidate) pair re-ran two full 64-element folds per row —
+    3x the interpreted work for |probes| x |corpus| rows. sqrt and
+    multiply over the same doubles are bit-identical to the inline
+    embedding_cosine form (pinned by
+    tests/test_operators.py::test_ann_bruteforce_norm_precompute_parity)."""
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    base = base.withColumn("_n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     probes = base.where(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("_n").alias("_pn"),
     )
     scored = base.crossJoin(F.broadcast(probes)).where(
         F.col("vec_id") != F.col("probe_id")
     )
-    scored = scored.withColumn("cos_sim", embedding_cosine(F.col("pv"), F.col("v")))
+    denom = F.col("_pn") * F.col("_n")
+    scored = scored.withColumn(
+        "cos_sim",
+        F.round(
+            F.when(denom != 0, _dot(F.col("pv"), F.col("v")) / denom).otherwise(
+                F.lit(float("nan"))
+            ),
+            6,
+        ),
+    )
     return _topk(scored, k)
 
 

@@ -136,6 +136,36 @@ def test_ann_bruteforce_matches_numpy(spark):
     assert [g[0] for g in got] == expect
 
 
+def test_ann_bruteforce_norm_precompute_parity(spark):
+    """The r7 optimization precomputes per-vector norms before the
+    probe cross join; cos_sim must stay BIT-identical to the inline
+    embedding_cosine fold — including the zero-norm NaN path."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8).astype("float32")
+    vecs[7] = 0.0  # zero-norm candidate -> NaN cosine (fail-closed)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    fast = sim.ann_bruteforce_topk(df, "vec_id", "embedding", [0, 5], k=40)
+    base = df.select(F.col("vec_id"), F.col("embedding").alias("v"))
+    probes = base.where(F.col("vec_id").isin([0, 5])).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    slow = sim._topk(
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", dd.embedding_cosine(F.col("pv"), F.col("v"))),
+        k=40,
+    )
+    key = lambda r: (r.probe_id, r.rank)
+    a = [(r.probe_id, r.rank, r.vec_id, str(r.cos_sim)) for r in sorted(fast.collect(), key=key)]
+    b = [(r.probe_id, r.rank, r.vec_id, str(r.cos_sim)) for r in sorted(slow.collect(), key=key)]
+    assert a == b and any("nan" in x[3] for x in a)
+
+
 def test_ann_lsh_subset_of_bruteforce_space(spark):
     import numpy as np
 
