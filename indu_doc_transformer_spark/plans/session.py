@@ -50,7 +50,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs driver AND all executor tasks in ONE JVM: at
+        # 32 concurrent tasks + localCheckpoint storage the old 8g heap
+        # sat in GC during the heavy stages (measured 2-4x rep-to-rep
+        # variance on the assembly finishers at sf1.0); 16g removes the
+        # thrash. Still env-overridable for smaller harnesses; cluster
+        # deployments size executors separately (guide §5).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

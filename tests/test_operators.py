@@ -166,6 +166,28 @@ def test_ann_bruteforce_norm_precompute_parity(spark):
     assert a == b and any("nan" in x[3] for x in a)
 
 
+def test_guid_charjoin_matches_charjoin_on_guid_inputs(spark):
+    """The r7 lookaround charjoin is only used on GUID/hex/keyword
+    inputs; it must be byte-identical to the extract_all form there
+    (incl. null, empty, single char)."""
+    from indu_doc_transformer_spark.functions import guids as G
+
+    df = spark.createDataFrame(
+        [("5eb63bbb-e01e-eed0-93cb-22bb8f5acdc3",), ("src",), ("dst",),
+         ("a",), ("",), (None,)],
+        "s string",
+    )
+    rows = df.select(
+        G.charjoin(F.col("s")).alias("old"),
+        G.guid_charjoin(F.col("s")).alias("new"),
+    ).collect()
+    assert all(r.old == r.new for r in rows)
+    sql_rows = df.selectExpr(
+        f"{G.sql_charjoin('s')} as old", f"{G.sql_guid_charjoin('s')} as new"
+    ).collect()
+    assert all(r.old == r.new for r in sql_rows)
+
+
 def test_ann_lsh_subset_of_bruteforce_space(spark):
     import numpy as np
 
