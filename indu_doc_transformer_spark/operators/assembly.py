@@ -69,8 +69,13 @@ TYPE_PRIORITY = {"cable": 3, "device": 2, "strip": 1, "other": 0}
 # (applicationId, page_type) -> (pre, req) unresolved expression trees;
 # see Assembler._branch_exprs. Config-independent by construction (the
 # branch builders use only class-level constants; AspectsConfig feeds
-# the finisher UDFs, never the request projections).
+# the finisher UDFs, never the request projections). The lock guards
+# mutation only — requests_table builds the nine branches from a
+# thread pool, and an unguarded evict-while-insert raced.
+import threading as _threading
+
 _BRANCH_EXPR_CACHE: dict = {}
+_BRANCH_EXPR_LOCK = _threading.Lock()
 
 
 def _pri(type_col: Column) -> Column:
@@ -569,12 +574,19 @@ class Assembler:
         key = (sc.applicationId, type(self).__qualname__, page_type)
         cached = _BRANCH_EXPR_CACHE.get(key)
         if cached is None:
+            # build OUTSIDE the lock (py4j-heavy, parallelizes across
+            # the branch thread pool); mutate under it
             cached = self._branch_exprs(page_type)
-            # drop entries from previous (stopped) applications: their
-            # py4j column handles point into a dead JVM context
-            for k in [k for k in _BRANCH_EXPR_CACHE if k[0] != sc.applicationId]:
-                _BRANCH_EXPR_CACHE.pop(k, None)
-            _BRANCH_EXPR_CACHE[key] = cached
+            with _BRANCH_EXPR_LOCK:
+                # drop entries from previous (stopped) applications:
+                # their py4j column handles point into a dead JVM
+                stale = [
+                    k for k in list(_BRANCH_EXPR_CACHE)
+                    if k[0] != sc.applicationId
+                ]
+                for k in stale:
+                    _BRANCH_EXPR_CACHE.pop(k, None)
+                _BRANCH_EXPR_CACHE[key] = cached
         pre, req = cached
         b = rows.where(F.col("page_type") == page_type)
         for name, col in pre:
