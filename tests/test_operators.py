@@ -166,6 +166,49 @@ def test_ann_bruteforce_norm_precompute_parity(spark):
     assert a == b and any("nan" in x[3] for x in a)
 
 
+def test_decontam_gram_kernel_matches_sql(spark):
+    """fast=True (Arrow gram kernel) must reproduce the fast=False
+    interpreted-SQL form exactly — including NULL text, empty text,
+    whitespace-only text, leading/trailing separators, tabs/newlines,
+    non-ASCII, and docs shorter than n."""
+    from indu_doc_transformer_spark.operators import decontam as dc
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  the quick   brown\tfox\njumps over "),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "\t\n"),
+        (6, "one two three"),
+        (7, "ÅÄÖ Straße the quick BROWN fox Über alles here"),
+        (8, "a b c d a b c d a b c d"),
+        (9, "x" * 50 + " y z w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    train = df.where(F.col("doc_id") % 2 == 0)
+    bench = df.where(F.col("doc_id") % 2 == 1)
+    for n in (2, 4):
+        a = {
+            tuple(r)
+            for r in dc.ngram_contamination(
+                train, bench, "doc_id", "text", n=n, fast=True
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in dc.ngram_contamination(
+                train, bench, "doc_id", "text", n=n, fast=False
+            ).collect()
+        }
+        assert a == b
+    # gram arrays themselves bit-identical (order + values)
+    k = dc._distinct_grams_udf(3)(F.col("text"))
+    s = dc._distinct_grams(F.col("text"), 3)
+    pairs = df.select(k.alias("a"), s.alias("b")).collect()
+    assert all(list(r.a) == list(r.b) for r in pairs)
+
+
 def test_guid_charjoin_matches_charjoin_on_guid_inputs(spark):
     """The r7 lookaround charjoin is only used on GUID/hex/keyword
     inputs; it must be byte-identical to the extract_all form there
