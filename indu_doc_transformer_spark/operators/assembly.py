@@ -591,9 +591,22 @@ class Assembler:
         b = rows.where(F.col("page_type") == page_type)
         for name, col in pre:
             b = b.withColumn(name, col)
+        # explode_outer + isNotNull instead of a bare explode: the
+        # non-outer Generate plants an implicit `size(reqs)>0` filter
+        # that the optimizer pushes BELOW the request projection by
+        # substitution — re-evaluating the entire (interpreted,
+        # HOF-laden) request expression once more per input row
+        # (guide §4.4's duplication, measured 2.8-4.4x per branch).
+        # Equivalent output: request elements are constructed structs
+        # (never NULL), and for a NULL/empty array both forms drop the
+        # row (outer emits r=NULL which the filter removes).
         return (
             b.withColumn("reqs", req)
-            .select("url", "page_no", "footer_tags", F.explode("reqs").alias("r"))
+            .select(
+                "url", "page_no", "footer_tags",
+                F.explode_outer("reqs").alias("r"),
+            )
+            .where(F.col("r").isNotNull())
             .select("url", "page_no", "footer_tags", "r.*")
         )
 
@@ -807,15 +820,21 @@ class Assembler:
             F.col("dst_pin").alias("dest_pin_name"),
         ).dropDuplicates(["guid"])
 
+        # explode_outer + isNotNull (not bare explode): the implicit
+        # size()>0 filter of a non-outer Generate is pushed below the
+        # projection and re-runs BOTH pin-chain md5 folds per row
+        # (guide §4.4 duplication — same fix as the branch explode).
+        # Chain elements are array_append'ed structs, never NULL.
         pins = (
             linked.select(
-                F.explode(
+                F.explode_outer(
                     F.concat(
                         G.pin_chain_expr("src_pin", "src", "link_guid"),
                         G.pin_chain_expr("dst_pin", "dst", "link_guid"),
                     )
                 ).alias("p")
             )
+            .where(F.col("p").isNotNull())
             .select("p.*")
             .dropDuplicates(["guid"])
         )

@@ -175,9 +175,18 @@ def minhash_lsh_pairs(
     # base is referenced three times (buckets + both shingle fetches);
     # the persist fills on first action — plan-only callers (explain,
     # composition) pay nothing at build time
-    buckets = base.select(
-        "id", F.explode(lsh_bands(F.col("sig"), bands, r)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # explode_outer + isNotNull, not bare explode: the non-outer
+    # Generate's implicit size()>0 filter is pushed below the
+    # projection and re-runs the per-band md5 hashing once more per
+    # row (guide §4.4 duplication). Band elements are constructed
+    # structs (never NULL); NULL/empty arrays drop in both forms.
+    buckets = (
+        base.select(
+            "id", F.explode_outer(lsh_bands(F.col("sig"), bands, r)).alias("bb")
+        )
+        .where(F.col("bb").isNotNull())
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -680,12 +689,15 @@ def embedding_near_dup_lsh(
     ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
     base = register_cache(base, cache)  # interpreted fold; referenced 3x
     nb = base.select("id", "bucket")
+    # explode_outer + isNotNull: avoids the pushed size()>0 filter
+    # re-running probe_buckets per row (guide §4.4); bucket strings
+    # are concat results over a non-null cached column, never NULL
     a = nb.select(
         "id",
-        F.explode(probe_buckets(F.col("bucket"), num_planes, multiprobe)).alias(
-            "bucket"
-        ),
-    ).alias("a") if multiprobe else nb.alias("a")
+        F.explode_outer(
+            probe_buckets(F.col("bucket"), num_planes, multiprobe)
+        ).alias("bucket"),
+    ).where(F.col("bucket").isNotNull()).alias("a") if multiprobe else nb.alias("a")
     b = nb.alias("b")
     # the self-join shuffles ONLY (id, bucket); vectors are fetched
     # map-side for surviving candidate pairs (AQE broadcasts the pair
@@ -858,9 +870,15 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hash the line to a 16-byte key for the groupBy if line lengths are
     adversarial (carry min(line) alongside for the rebuild). Returns
     (id, n_lines, text_md5)."""
+    # posexplode_outer: the non-outer Generate's pushed size()>0 filter
+    # re-evaluates the upstream text expression (callers pass computed
+    # renditions, e.g. the entry's structured-text build) once more per
+    # row (guide §4.4). split() elements are never NULL and the
+    # existing non-empty-line filter drops the outer form's NULL row
+    # for NULL text, so the output is identical.
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).where(F.trim("line") != "")
     first = (
         lines.groupBy("line")
@@ -903,23 +921,31 @@ def duplicate_span_removal(
     shuffles: hash agg + id-keyed rebuild."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    wins = base.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        F.md5(F.array_join(F.slice("toks", i, k), " ")).alias("h"),
+    # explode_outer + isNotNull (guide §4.4, same as the decontam/LSH
+    # explodes): a bare explode's pushed size()>0 filter re-runs the
+    # whole k-gram md5 fold per row. Window elements are constructed
+    # structs (never NULL); short docs' empty arrays drop identically.
+    wins = (
+        base.select(
+            "id",
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                        lambda i: F.struct(
+                            i.alias("start"),
+                            F.md5(F.array_join(F.slice("toks", i, k), " ")).alias("h"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.expr(
-                "cast(array() as array<struct<start:int,h:string>>)"
-            ))
-        ).alias("w"),
-    ).select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+                ).otherwise(F.expr(
+                    "cast(array() as array<struct<start:int,h:string>>)"
+                ))
+            ).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    )
     dup_h = (
         wins.groupBy("h")
         .agg(F.count("*").alias("c"))

@@ -552,7 +552,13 @@ def unigram_rarity(df, id_col: str, text_col: str, scale: int = 1000):
     from pyspark.sql.functions import broadcast
 
     toks = _tokens(F.col(text_col))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    # explode_outer + isNotNull: a bare explode's pushed size()>0
+    # filter re-runs the tokenization per row (guide §4.4). split
+    # elements are never NULL; a NULL text's NULL array drops in both
+    # forms (outer emits tok=NULL, removed by the filter).
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    ).where(F.col("tok").isNotNull())
     counts = ex.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     rarity = F.floor(F.col("total") * scale / F.col("cnt")).cast("long")
