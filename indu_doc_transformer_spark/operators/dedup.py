@@ -899,8 +899,57 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _span_windows_udf(k: int):
+    """Arrow-batched kernel for the k-token window hashes of
+    ``duplicate_span_removal`` — bit-identical to the SQL fold below
+    (same tokenization contract as decontam._distinct_grams_udf:
+    ASCII-space trim, java-\\s+ split with kept empties, NULL -> empty,
+    md5 over UTF-8; positions 1-based like the SQL sequence). The SQL
+    form stays as the fast=False parity oracle
+    (tests/test_operators.py::test_span_window_kernel_matches_sql)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ws = re.compile(r"\s+", re.ASCII)
+    schema = ArrayType(
+        StructType(
+            [StructField("start", IntegerType()), StructField("h", StringType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def kernel(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = ws.split(t.strip(" ").lower())
+            if len(toks) < k:
+                out.append([])
+                continue
+            out.append(
+                [
+                    (i + 1, md5(" ".join(toks[i : i + k]).encode()).hexdigest())
+                    for i in range(len(toks) - k + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return kernel
+
+
 def duplicate_span_removal(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, fast: bool = True
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (the Lee et al.
     "Deduplicating Training Data Makes Language Models Better"
@@ -921,28 +970,32 @@ def duplicate_span_removal(
     shuffles: hash agg + id-keyed rebuild."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    # explode_outer + isNotNull (guide §4.4, same as the decontam/LSH
-    # explodes): a bare explode's pushed size()>0 filter re-runs the
-    # whole k-gram md5 fold per row. Window elements are constructed
-    # structs (never NULL); short docs' empty arrays drop identically.
-    wins = (
-        base.select(
-            "id",
-            F.explode_outer(
-                F.when(
-                    F.size("toks") >= k,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                        lambda i: F.struct(
-                            i.alias("start"),
-                            F.md5(F.array_join(F.slice("toks", i, k), " ")).alias("h"),
-                        ),
-                    ),
-                ).otherwise(F.expr(
-                    "cast(array() as array<struct<start:int,h:string>>)"
-                ))
-            ).alias("w"),
+    # fast=True hashes the k-token windows in the Arrow kernel (the
+    # decontam gram-kernel pattern); fast=False keeps the interpreted
+    # SQL fold as the parity oracle. Either way the explode is
+    # explode_outer + isNotNull (guide §4.4): a bare explode's pushed
+    # size()>0 filter would re-run the whole window construction per
+    # row. Window elements are constructed structs (never NULL);
+    # short docs' empty arrays drop identically in both forms.
+    if fast:
+        win_arr = _span_windows_udf(k)(F.col(text_col))
+        wins_src = df.select(F.col(id_col).alias("id"), win_arr.alias("wa"))
+    else:
+        win_arr = F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.array_join(F.slice("toks", i, k), " ")).alias("h"),
+                ),
+            ),
+        ).otherwise(
+            F.expr("cast(array() as array<struct<start:int,h:string>>)")
         )
+        wins_src = base.select("id", win_arr.alias("wa"))
+    wins = (
+        wins_src.select("id", F.explode_outer("wa").alias("w"))
         .where(F.col("w").isNotNull())
         .select("id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
     )

@@ -209,6 +209,37 @@ def test_decontam_gram_kernel_matches_sql(spark):
     assert all(list(r.a) == list(r.b) for r in pairs)
 
 
+def test_span_window_kernel_matches_sql(spark):
+    """duplicate_span_removal fast=True (Arrow window-hash kernel) must
+    reproduce the fast=False SQL fold exactly — nulls, whitespace-only,
+    short docs, repeated boilerplate, non-ASCII."""
+    rows = [
+        (0, "a b c d e f g a b c d e f g tail one two"),
+        (1, "a b c d e f g prefix a b c d e f g"),
+        (2, None),
+        (3, ""),
+        (4, " \t\n "),
+        (5, "one two three"),
+        (6, "ÅÄÖ ü ü ü ü ü ü ü ü ss"),
+        (7, "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for k in (3, 7):
+        a = {
+            tuple(r)
+            for r in dd.duplicate_span_removal(
+                df, "doc_id", "text", k=k, fast=True
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in dd.duplicate_span_removal(
+                df, "doc_id", "text", k=k, fast=False
+            ).collect()
+        }
+        assert a == b
+
+
 def test_guid_charjoin_matches_charjoin_on_guid_inputs(spark):
     """The r7 lookaround charjoin is only used on GUID/hex/keyword
     inputs; it must be byte-identical to the extract_all form there
