@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §9/§3.1: allow shuffled-hash join when the planner's
+        # size conditions hold (build side fits a per-partition hash
+        # map AND is much smaller) instead of always sort-merge — the
+        # minhash band self-join measured 2.16s -> 1.67s warm at sf1.0
+        # (skips the 200k-row broadcast build). Size-gated by the
+        # planner, so huge-at-scale sides still get sort-merge's
+        # graceful spill; AQE skew splitting covers SHJ too.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
