@@ -134,8 +134,15 @@ def ngram_contamination(
         F.size("grams").alias("n_grams"),
         F.explode_outer("grams").alias("gram"),
     )
+    # explode_outer + isNotNull (guide §4.4, the repo-wide rule): a
+    # bare explode's pushed size()>0 filter re-runs the gram
+    # construction once more per bench row on the fast=False parity
+    # path (the kernel path is barrier-protected but gets the same
+    # shape for uniformity). Gram hashes are md5 hex strings, never
+    # NULL; NULL/empty arrays drop in both forms.
     bg = (
-        bench.select(F.explode(grams_of(F.col(text_col))).alias("gram"))
+        bench.select(F.explode_outer(grams_of(F.col(text_col))).alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -1,7 +1,7 @@
 """Dump .explain('formatted') for named queries() entries into
 plans/r07/<query>_<suffix>.txt (judge evidence for OPTIMIZATION_r07.md).
 
-Usage: python scripts/dump_plans_r07.py <suffix> [sf_dir] <query ...>
+Usage: python scripts/dump_plans_r07.py <suffix> <sf_dir> <query ...>
 """
 
 from __future__ import annotations
